@@ -1,0 +1,12 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh with float64/complex128 enabled,
+# so numerics can be validated to 1e-10 against the NumPy oracle.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
