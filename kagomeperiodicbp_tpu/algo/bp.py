@@ -1,0 +1,202 @@
+"""Block Belief Propagation: iterate the 6 boundary-MPS messages of the
+hexagonal block to a fixed point.
+
+Re-design of the reference's `belief_propagation` /
+`robust_belief_propagation` (/root/reference/src/algo/belief_propagation.py:
+192,285). Differences by design:
+
+* messages live in a canonical padded bond profile → every BP iteration is
+  the same 6 static XLA programs (no shape churn);
+* the 6 outgoing messages are computed synchronously from the current
+  messages (same as the reference's `_out_going_messages`), and the wrap is
+  ``in[S.opposite()] = reverse(out[S])`` — the periodic identification of
+  boundary edge k of side S with edge (n−1−k) of the opposite side
+  (reference: kagome.py:388-399 periodic wiring).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lattices import BlockSide
+from ..networks.graph import message_bond_profile
+from ..networks.unit_cell import UnitCell
+from ..ops import mps as mpslib
+from ..ops.mps import MPS
+from . import contraction as C
+
+MessageDict = Dict[BlockSide, MPS]
+
+
+@dataclass
+class BPConfig:
+    """(reference: containers/belief_propagation.py:30-56)"""
+
+    trunc_dim: int = 9                  # χ of the messages
+    bubble_trunc_dim: Optional[int] = None  # χ inside the contraction (default: trunc_dim)
+    max_iterations: int = 50
+    msg_diff_terminate: float = 1e-10
+    msg_diff_good_enough: float = 1e-5
+    allowed_retries: int = 2
+    damping: Optional[float] = None     # fraction of the OLD message kept
+    hermitize_when_finished: bool = True
+    init_model: str = "uniform"         # 'uniform' | 'random'
+    seed: int = 0
+    dtype: object = None                # default from unit cell
+
+    @property
+    def chi_bubble(self) -> int:
+        return self.bubble_trunc_dim or self.trunc_dim
+
+
+@dataclass
+class BPStats:
+    iterations: int = 0
+    final_error: float = float("inf")
+    success: bool = False
+    attempts: int = 1
+    final_config: Optional[BPConfig] = None
+    duration: float = 0.0
+    error_history: list = field(default_factory=list)
+
+
+def hermitize_message(m: MPS, D: int, chi: int) -> MPS:
+    """Project the message (an operator-valued boundary MPS with fused D²
+    phys legs) onto its Hermitian part: ½(M + M†), where M† is the sitewise
+    conjugate with ket-bra swap. (reference: libs/ITE.py:116)"""
+    sites_dag = []
+    for s in m.sites:
+        l, p, r = s.shape
+        t = s.reshape(l, D, D, r)
+        t = jnp.conj(jnp.transpose(t, (0, 2, 1, 3))).reshape(l, p, r)
+        sites_dag.append(t)
+    m_dag = MPS(tuple(sites_dag), m.logscale)
+    out = mpslib.add(m, m_dag, 0.5, 0.5)
+    out = mpslib.compress(out, chi)
+    out = mpslib.pad_bonds(out, _profile_of(m, chi, D))
+    return MPS(out.sites, jnp.zeros_like(out.logscale))
+
+
+def _profile_of(m: MPS, chi: int, D: int) -> list:
+    n = m.n
+    p = D * D
+    return [min(chi, p ** (k + 1), p ** (n - 1 - k)) for k in range(n - 1)]
+
+
+def bp_step(
+    fused, messages: MessageDict, N: int, D: int, chi: int, chi_msg: int
+) -> MessageDict:
+    """One synchronous BP iteration: 6 outgoing messages, wrapped+reversed.
+    (reference: `_belief_propagation_step`, belief_propagation.py:164)"""
+    new: MessageDict = {}
+    for side in BlockSide:
+        out = C.outgoing_message(fused, messages, N, D, chi, chi_msg, toward=side)
+        new[side.opposite()] = out.reverse()
+    return new
+
+
+def bp_error(old: MessageDict, new: MessageDict) -> float:
+    """Mean MPS distance across the 6 sides (belief_propagation.py:44)."""
+    dists = [float(mpslib.distance(old[s], new[s])) for s in BlockSide]
+    return float(np.mean(dists))
+
+
+def _damp(old: MessageDict, new: MessageDict, d: float, chi: int, D: int) -> MessageDict:
+    res = {}
+    for s in BlockSide:
+        mixed = mpslib.add(new[s], old[s], 1.0 - d, d)
+        mixed = mpslib.compress(mixed, chi)
+        mixed = mpslib.pad_bonds(mixed, _profile_of(new[s], chi, D))
+        res[s] = MPS(mixed.sites, jnp.zeros_like(mixed.logscale))
+    return res
+
+
+def belief_propagation(
+    cell: UnitCell,
+    messages: Optional[MessageDict],
+    config: BPConfig,
+    N: int,
+) -> Tuple[MessageDict, BPStats]:
+    """Iterate to the message fixed point; keep the minimum-error messages.
+    (reference: belief_propagation.py:192)"""
+    t0 = time.time()
+    D = cell.D
+    chi_msg = config.trunc_dim
+    chi = config.chi_bubble
+    dtype = config.dtype or cell.A.dtype
+
+    if messages is None:
+        messages = C.initial_messages(
+            N, D, chi_msg, model=config.init_model,
+            key=jax.random.PRNGKey(config.seed), dtype=dtype,
+        )
+
+    fused = C.fused_cells(cell)
+    stats = BPStats(final_config=config)
+    best_err, best_msgs = float("inf"), messages
+    prev_err = float("inf")
+    increases = 0
+
+    for it in range(config.max_iterations):
+        new = bp_step(fused, messages, N, D, chi, chi_msg)
+        err = bp_error(messages, new)
+        stats.error_history.append(err)
+        if config.damping:
+            new = _damp(messages, new, config.damping, chi_msg, D)
+        messages = new
+        if err < best_err:
+            best_err, best_msgs = err, messages
+        stats.iterations = it + 1
+        if err < config.msg_diff_terminate:
+            break
+        # failure heuristic: diverging error several times in a row
+        # (reference: times_to_deem_failure_when_diff_increases, :261)
+        increases = increases + 1 if err > prev_err else 0
+        prev_err = err
+        if increases >= 4 and best_err < config.msg_diff_good_enough:
+            break
+
+    stats.final_error = best_err
+    stats.success = best_err < config.msg_diff_good_enough
+    messages = best_msgs
+
+    if config.hermitize_when_finished:
+        messages = {s: hermitize_message(m, D, chi_msg) for s, m in messages.items()}
+
+    stats.duration = time.time() - t0
+    return messages, stats
+
+
+def robust_belief_propagation(
+    cell: UnitCell,
+    messages: Optional[MessageDict],
+    config: BPConfig,
+    N: int,
+) -> Tuple[MessageDict, BPStats]:
+    """Retry loop with χ escalation ×1.5 and fresh random messages on failure
+    (reference: belief_propagation.py:284-332)."""
+    cfg = config
+    last_stats = None
+    for attempt in range(config.allowed_retries + 1):
+        msgs_in = messages if attempt == 0 else None
+        out, stats = belief_propagation(cell, msgs_in, cfg, N)
+        stats.attempts = attempt + 1
+        stats.final_config = cfg
+        if stats.success:
+            return out, stats
+        last_stats = stats
+        cfg = dataclasses.replace(
+            cfg,
+            trunc_dim=int(cfg.trunc_dim * 1.5) + 1,
+            bubble_trunc_dim=int(cfg.chi_bubble * 1.5) + 1,
+            max_iterations=cfg.max_iterations + 11,
+            init_model="random",
+            seed=cfg.seed + 1,
+        )
+    return out, last_stats  # type: ignore[return-value]
