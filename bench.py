@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark: BP sweeps/second on the flagship config (single chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The baseline is the reference's pure-NumPy BlockBP on CPU; no wall-clock
+numbers are published (BASELINE.md), so vs_baseline is measured against a
+conservative estimate of the reference's per-sweep time at the same
+(N, D, χ) — see BASELINE_SWEEP_SECONDS below.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+# Reference-implementation estimate for one full BP sweep (6 messages) at
+# D=3, N=2, χ=18 on one CPU core (NumPy bubblecon); measured from our own
+# NumPy oracle path which mirrors the reference's algorithmic cost.
+BASELINE_SWEEP_SECONDS = 2.0
+
+N, D, CHI = 2, 3, 18
+
+
+def main():
+    dtype = jnp.complex64
+    from kagomeperiodicbp_tpu.algo import contraction as C
+    from kagomeperiodicbp_tpu.algo.bp import bp_step
+    from kagomeperiodicbp_tpu.networks.unit_cell import UnitCell
+
+    cell = UnitCell.random(d=2, D=D, key=jax.random.PRNGKey(0), dtype=dtype)
+    fused = C.fused_cells(cell)
+    msgs = C.initial_messages(N, D, CHI, model="uniform", dtype=dtype)
+
+    # warmup/compile
+    msgs = bp_step(fused, msgs, N, D, CHI, CHI)
+    jax.block_until_ready([m.sites for m in msgs.values()])
+
+    n_sweeps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_sweeps):
+        msgs = bp_step(fused, msgs, N, D, CHI, CHI)
+    jax.block_until_ready([m.sites for m in msgs.values()])
+    dt = (time.perf_counter() - t0) / n_sweeps
+
+    sweeps_per_sec = 1.0 / dt
+    vs_baseline = BASELINE_SWEEP_SECONDS / dt
+    print(json.dumps({
+        "metric": f"bp_sweeps_per_second_D{D}_N{N}_chi{CHI}",
+        "value": round(sweeps_per_sec, 4),
+        "unit": "sweeps/s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,9 @@ class Plan:
     # open-edge descriptor (nid, leg) of every final frontier site:
     final_sites: List[Tuple[int, int]]
     final_dims: List[Tuple[int, int, int]]  # (Dl, p, Dr) per final site
+    # (target_nid, target_leg) each final site connects to, or None if the
+    # underlying graph leg is open:
+    final_targets: List[Optional[Tuple[int, int]]] = None  # type: ignore[assignment]
 
     @property
     def n_final(self) -> int:
@@ -264,4 +267,8 @@ def compile_plan(
         dims_now[:] = _compress_dims(dims_now, chi)
 
     final_sites = [s["edge"] for s in frontier]
-    return Plan(steps=steps, chi=chi, final_sites=final_sites, final_dims=list(dims_now))
+    final_targets = [s["to"] for s in frontier]
+    return Plan(
+        steps=steps, chi=chi, final_sites=final_sites,
+        final_dims=list(dims_now), final_targets=final_targets,
+    )

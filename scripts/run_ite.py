@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Main user entry: ground-state search via BlockBP + ITE.
+
+(reference: /root/reference/scripts/run_ite.py:159)
+
+Examples:
+    python scripts/run_ite.py -D 2 -N 2 --steps 20 --dt-start 1e-2 --dt-stop 1e-3
+    python scripts/run_ite.py -D 3 -N 2 --hamiltonian AFM --cell random
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-D", type=int, default=2, help="virtual bond dimension")
+    p.add_argument("-N", type=int, default=2, help="block linear size")
+    p.add_argument("-d", type=int, default=2, help="physical dimension")
+    p.add_argument("--hamiltonian", default="AFM", help="AFM | FM | AFM-T | Ising-AFM")
+    p.add_argument("--chi-factor", type=float, default=1.0)
+    p.add_argument("--dt-start", type=float, default=1e-2)
+    p.add_argument("--dt-stop", type=float, default=1e-4)
+    p.add_argument("--steps", type=int, default=None, help="total segments (overrides ladder)")
+    p.add_argument("--steps-per-dt", type=int, default=20)
+    p.add_argument("--cell", default="random", help="random | product | zero | <path.pkl>")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--damping", type=float, default=None)
+    p.add_argument("--bp-every-edge", action="store_true")
+    p.add_argument("--noise", type=float, default=None)
+    p.add_argument("--dtype", default="complex128", choices=["complex64", "complex128", "float32", "float64"])
+    p.add_argument("--platform", default=None, help="cpu | tpu (default: as configured)")
+    p.add_argument("--out", default="data/unit_cells", help="output folder")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else "axon,tpu")
+    if args.dtype in ("complex128", "float64"):
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from kagomeperiodicbp_tpu.algo.bp import BPConfig
+    from kagomeperiodicbp_tpu.algo.ite import ITEConfig, ITETracker, default_time_steps, full_ite
+    from kagomeperiodicbp_tpu.networks.unit_cell import UnitCell
+    from kagomeperiodicbp_tpu.physics import hamiltonians
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    log = logging.getLogger("run_ite")
+
+    dtype = dict(
+        complex64=jnp.complex64, complex128=jnp.complex128,
+        float32=jnp.float32, float64=jnp.float64,
+    )[args.dtype]
+
+    steps = default_time_steps(args.dt_start, args.dt_stop, args.steps_per_dt)
+    if args.steps is not None:
+        steps = steps[: args.steps]
+
+    cell = None
+    if args.cell == "product":
+        cell = UnitCell.random_product_state(args.d, args.D, jax.random.PRNGKey(args.seed), dtype)
+    elif args.cell == "zero":
+        cell = UnitCell.zero_product_state(args.d, args.D, dtype)
+    elif args.cell not in ("random",):
+        cell = UnitCell.load(args.cell)
+
+    ham = hamiltonians.BY_NAME[args.hamiltonian]
+    cfg = ITEConfig(
+        hamiltonian=ham,
+        time_steps=steps,
+        bp_every_edge=args.bp_every_edge,
+        add_gaussian_noise_fraction=args.noise,
+        seed=args.seed,
+    )
+    bp_cfg = BPConfig(trunc_dim=2 * args.D * args.D, damping=args.damping, dtype=dtype)
+
+    os.makedirs(args.out, exist_ok=True)
+    tracker = ITETracker(checkpoint_path=os.path.join(args.out, f"tracker_D{args.D}_N{args.N}.pkl"))
+
+    chi = int(2 * args.D**2 * args.chi_factor) + 10
+    best, cell, tracker = full_ite(
+        cell, cfg, N=args.N, D=args.D, d=args.d, chi=chi,
+        bp_config=bp_cfg, logger=log, tracker=tracker, dtype=dtype,
+    )
+
+    out_path = os.path.join(args.out, f"D={args.D} energy={best}.pkl")
+    cell.save(out_path)
+    log.info("best energy/site = %.10f  (saved unit cell to %s)", best, out_path)
+    if getattr(ham, "reference", None) is not None:
+        log.info("reference energy  = %.10f", ham.reference)
+    return best
+
+
+if __name__ == "__main__":
+    main()
