@@ -1,11 +1,15 @@
 """Plan executor: runs a compiled contraction Plan as pure JAX ops.
 
-The executor is shape-static: for a fixed Plan, tracing produces one XLA
-program (cached by jit). State = (frontier site list, logscale, phase
-mantissa).  Each step contracts one tensor into the frontier MPS, re-splits
-via QR, and compresses to χ when the plan says so — the swallow/‌truncate
-cycle of the reference's bubblecon (libs/bubblecon.py:2844-3062) but traced
-once and fused by XLA.
+Shape-static per Plan: tracing produces one XLA program (or, in eager mode,
+a stream of per-op-cached kernels). The frontier MPS carries *canonical
+gauge markers* so each swallow's bond truncation only canonicalises the
+sites it actually needs — the windowed, mixed-canonical truncation that the
+reference implements as `reduceD`'s minimal-range mode
+(/root/reference/src/libs/bmpslib.py:868 with its Corder bookkeeping), here
+with amortised O(row) sweeps instead of a full sweep per swallow.
+
+All marker logic runs at trace time (Python ints); only tensor ops are
+traced/dispatched.
 """
 from __future__ import annotations
 
@@ -16,16 +20,153 @@ import jax.numpy as jnp
 
 from ..networks.graph import Source
 from ..planner.compiler import Plan, Step
-from .linalg import qr_stable
-from . import mps as mpslib
+from .linalg import qr_stable, svd_trunc
 from .mps import MPS
 
 
-def _split_blob(blob: jnp.ndarray, out_dims: Sequence[int]) -> List[jnp.ndarray]:
+class Frontier:
+    """Boundary MPS under construction, with canonical gauge markers.
+
+    Invariants (conservative — may understate what is canonical):
+    * sites[i] for i < lc are left-canonical;
+    * sites[i] for i >= rc are right-canonical;
+    * every bond not freshly created by the current step is ≤ chi.
+    """
+
+    def __init__(self, chi: int):
+        self.sites: List[jnp.ndarray] = []
+        self.lc = 0
+        self.rc = 0
+        self.chi = chi
+        self.logscale = None
+        self.mantissa = None
+
+    # ------------- marker helpers -------------
+
+    def _invalidate(self, i: int):
+        """Site i was modified."""
+        self.lc = min(self.lc, i)
+        self.rc = max(self.rc, i + 1)
+        self.rc = min(self.rc, len(self.sites))
+
+    def _certify_left(self, i: int):
+        if self.lc == i:
+            self.lc = i + 1
+
+    def _certify_right(self, i: int):
+        if self.rc == i + 1:
+            self.rc = i
+
+    # ------------- scale bookkeeping -------------
+
+    def _init_scale(self, dtype):
+        if self.logscale is None:
+            rd = jnp.zeros((), dtype).real.dtype
+            self.logscale = jnp.zeros((), rd)
+            self.mantissa = jnp.ones((), dtype)
+
+    def _absorb_norm(self, x):
+        n = jnp.maximum(jnp.linalg.norm(x), 1e-300)
+        self.logscale = self.logscale + jnp.log(n)
+        return x / n.astype(x.dtype)
+
+    def _absorb_scalar(self, scalar):
+        n = jnp.maximum(jnp.abs(scalar), 1e-300)
+        self.logscale = self.logscale + jnp.log(n)
+        self.mantissa = self.mantissa * (scalar / n.astype(scalar.dtype))
+
+    # ------------- gauge sweeps -------------
+
+    def _left_qr_at(self, i: int):
+        """Left-canonicalise site i, absorbing R into site i+1 (or scale)."""
+        s = self.sites[i]
+        dl, p, dr = s.shape
+        q, r = qr_stable(s.reshape(dl * p, dr))
+        self.sites[i] = q.reshape(dl, p, q.shape[1])
+        self._certify_left(i)
+        if i + 1 < len(self.sites):
+            nxt = jnp.einsum("ab,bpc->apc", r, self.sites[i + 1])
+            self.sites[i + 1] = self._absorb_norm(nxt)
+            self._invalidate(i + 1)
+        else:
+            self._absorb_scalar(r[0, 0])
+
+    def _right_qr_at(self, i: int):
+        """Right-canonicalise site i, absorbing L into site i−1 (or scale)."""
+        s = self.sites[i]
+        dl, p, dr = s.shape
+        q, r = qr_stable(s.reshape(dl, p * dr).T)  # s^T = q·r ⇒ s = rᵀ·qᵀ
+        k = q.shape[1]
+        self.sites[i] = q.T.reshape(k, p, dr)
+        self._certify_right(i)
+        if i > 0:
+            prv = jnp.einsum("apb,bc->apc", self.sites[i - 1], r.T)
+            self.sites[i - 1] = self._absorb_norm(prv)
+            self._invalidate(i - 1)
+        else:
+            self._absorb_scalar(r.T[0, 0])
+
+    def ensure_left_to(self, p: int):
+        """Make sites [0, p) left-canonical."""
+        for i in range(self.lc, min(p, len(self.sites))):
+            self._left_qr_at(i)
+
+    def ensure_right_from(self, p: int):
+        """Make sites [p, n) right-canonical."""
+        for i in range(self.rc - 1, p - 1, -1):
+            self._right_qr_at(i)
+
+    # ------------- windowed truncation -------------
+
+    def truncate_window(self, s: int, e: int):
+        """Optimally truncate all bonds inside (s-1, e) created by a swallow
+        to ≤ chi: mixed-canonical at every truncated bond."""
+        n = len(self.sites)
+        s, e = max(s, 0), min(e, n)
+        if e - s < 1:
+            return
+        self.ensure_left_to(s)
+        self.ensure_right_from(e)
+        # forward QR through the window (caps bond growth, sets up gauge)
+        for i in range(s, e - 1):
+            self._left_qr_at(i)
+        # backward truncating SVD sweep
+        for i in range(e - 1, s, -1):
+            st = self.sites[i]
+            dl, p, dr = st.shape
+            k = min(self.chi, dl, p * dr)
+            u, sv, vh = svd_trunc(st.reshape(dl, p * dr), k)
+            self.sites[i] = vh.reshape(k, p, dr)
+            self._certify_right(i)
+            carry = u * sv.astype(u.dtype)[None, :]
+            prv = jnp.einsum("apb,bc->apc", self.sites[i - 1], carry)
+            self.sites[i - 1] = self._absorb_norm(prv)
+            self._invalidate(i - 1)
+
+    def max_bond_in(self, s: int, e: int) -> int:
+        mx = 1
+        for i in range(max(s, 0), min(e, len(self.sites))):
+            mx = max(mx, self.sites[i].shape[0], self.sites[i].shape[2])
+        return mx
+
+    # ------------- structural edits -------------
+
+    def replace(self, s: int, n_in: int, new_sites: List[jnp.ndarray]):
+        old_n = len(self.sites)
+        shift = len(new_sites) - n_in
+        self.sites[s : s + n_in] = new_sites
+        self.lc = min(self.lc, s)
+        if self.rc >= s + n_in:
+            self.rc += shift
+        self.rc = max(self.rc, s + len(new_sites))
+        self.rc = min(self.rc, len(self.sites))
+
+
+def _split_blob(blob: jnp.ndarray, frontier: Frontier) -> List[jnp.ndarray]:
     """Split blob [Dl, o1..ok, Dr] into k MPS sites via a QR chain."""
+    out_dims = blob.shape[1:-1]
     k = len(out_dims)
-    dl = blob.shape[0]
-    dr = blob.shape[-1]
+    dl, dr = blob.shape[0], blob.shape[-1]
     if k == 1:
         return [blob]
     sites = []
@@ -34,14 +175,13 @@ def _split_blob(blob: jnp.ndarray, out_dims: Sequence[int]) -> List[jnp.ndarray]
     for od in out_dims:
         rest *= od
     carry = blob.reshape(left, rest * dr)
-    for i, od in enumerate(out_dims[:-1]):
+    for od in out_dims[:-1]:
         rest //= od
         m = carry.reshape(left * od, rest * dr)
         q, r = qr_stable(m)
-        bond = q.shape[1]
-        sites.append(q.reshape(left, od, bond))
-        carry = r
-        left = bond
+        sites.append(q.reshape(left, od, q.shape[1]))
+        carry = frontier._absorb_norm(r)
+        left = q.shape[1]
     sites.append(carry.reshape(left, out_dims[-1], dr))
     return sites
 
@@ -55,71 +195,58 @@ def execute_plan(
     full contraction (empty frontier), a tuple (mantissa, log) with
     value = mantissa·exp(log) (the reference's separate_exp mode,
     bubblecon.py:3084)."""
-    sites: List[jnp.ndarray] = []
-    logscale = None
-    mantissa = None
+    fr = Frontier(plan.chi)
 
     for step in plan.steps:
         t = fetch(step.source)
         if dtype is not None:
             t = t.astype(dtype)
-        if logscale is None:
-            rd = jnp.zeros((), t.dtype).real.dtype
-            logscale = jnp.zeros((), rd)
-            mantissa = jnp.ones((), t.dtype)
+        fr._init_scale(t.dtype)
         t = jnp.transpose(t, step.perm)
 
         s, n_in, n_out = step.start, step.n_in, step.n_out
 
         if n_in == 0:
-            # first node of the sweep: insert fresh sites
-            assert not sites, "zero-in-leg step on a non-empty frontier"
+            assert not fr.sites, "zero-in-leg step on a non-empty frontier"
             blob = t.reshape((1,) + t.shape + (1,))
         else:
-            # contract t's in-legs with the consumed frontier sites one by one.
-            # t legs: [in0..in_{n_in-1}, out...]; walk the sites left→right.
-            consumed = sites[s : s + n_in]
-            # running: [Dl, (remaining in legs), out..., bond]
-            run = consumed[0]  # [Dl, p0, b0]
-            run = jnp.tensordot(t, run, axes=([0], [1]))  # [in1.., out.., Dl, b0]
-            # move Dl to front: current shape [in1..in_{n_in-1}, out.., Dl, b]
-            nd = run.ndim
-            run = jnp.moveaxis(run, nd - 2, 0)  # [Dl, in1.., out.., b]
+            consumed = fr.sites[s : s + n_in]
+            run = jnp.tensordot(t, consumed[0], axes=([0], [1]))
+            run = jnp.moveaxis(run, run.ndim - 2, 0)  # [Dl, in1.., out.., b]
             for j in range(1, n_in):
-                site = consumed[j]  # [b, p_j, b']
-                # contract run's leg `1` (next in-leg) and last axis (bond)
-                run = jnp.tensordot(run, site, axes=([1, run.ndim - 1], [1, 0]))
-                # shape now [Dl, in.., out.., b']
+                run = jnp.tensordot(
+                    run, consumed[j], axes=([1, run.ndim - 1], [1, 0])
+                )
             blob = run  # [Dl, out..., Dr]
 
-        # normalise scale to keep floats healthy
-        nrm = jnp.maximum(jnp.linalg.norm(blob), 1e-300)
-        blob = blob / nrm.astype(blob.dtype)
-        logscale = logscale + jnp.log(nrm)
+        blob = fr._absorb_norm(blob)
 
         if n_out == 0:
-            mat = blob.reshape(blob.shape[0], blob.shape[-1])  # [Dl, Dr]
-            del sites[s : s + n_in]
-            if s > 0:
-                sites[s - 1] = jnp.einsum("apb,bc->apc", sites[s - 1], mat)
-            elif sites:
-                sites[0] = jnp.einsum("ab,bpc->apc", mat, sites[0])
+            mat = blob.reshape(blob.shape[0], blob.shape[-1])
+            del fr.sites[s : s + n_in]
+            if fr.rc >= s + n_in:
+                fr.rc -= n_in
             else:
-                mantissa = mantissa * mat[0, 0]
+                fr.rc = max(fr.rc, s)
+            fr.rc = min(fr.rc, len(fr.sites))
+            fr.lc = min(fr.lc, max(s - 1, 0))
+            if s > 0:
+                fr.sites[s - 1] = jnp.einsum("apb,bc->apc", fr.sites[s - 1], mat)
+                fr._invalidate(s - 1)
+            elif fr.sites:
+                fr.sites[0] = jnp.einsum("ab,bpc->apc", mat, fr.sites[0])
+                fr._invalidate(0)
+            else:
+                fr.mantissa = fr.mantissa * mat[0, 0]
         else:
-            new_sites = _split_blob(blob, step.out_dims)
-            sites[s : s + n_in] = new_sites
+            new_sites = _split_blob(blob, fr)
+            fr.replace(s, n_in, new_sites)
+            if fr.max_bond_in(s, s + n_out) > plan.chi:
+                fr.truncate_window(s, s + n_out)
 
-        if step.compress_after and sites:
-            m = mpslib.MPS(tuple(sites), logscale)
-            m = mpslib.compress(m, plan.chi)
-            sites = list(m.sites)
-            logscale = m.logscale
+    if not fr.sites:
+        return fr.mantissa, fr.logscale
 
-    if not sites:
-        return mantissa, logscale
-
-    # fold the phase mantissa into the first site
-    first = sites[0] * mantissa
-    out = MPS((first,) + tuple(sites[1:]), logscale)
+    first = fr.sites[0] * fr.mantissa
+    out = MPS((first,) + tuple(fr.sites[1:]), fr.logscale)
     return out

@@ -92,26 +92,6 @@ def _leg_vec(graph: TNGraph, nid: int, leg: int) -> Tuple[float, float]:
     return (math.cos(a), math.sin(a))
 
 
-def _compress_dims(dims: List[Tuple[int, int, int]], chi: int) -> List[Tuple[int, int, int]]:
-    """Statically mirror ops.mps.compress: left QR pass then right SVD pass."""
-    n = len(dims)
-    dl = [d[0] for d in dims]
-    p = [d[1] for d in dims]
-    dr = [d[2] for d in dims]
-    # left QR sweep
-    for i in range(n):
-        q = min(dl[i] * p[i], dr[i])
-        dr[i] = q
-        if i + 1 < n:
-            dl[i + 1] = q
-    # right SVD sweep (truncate to chi)
-    for i in range(n - 1, 0, -1):
-        k = min(chi, dl[i], p[i] * dr[i])
-        dl[i] = k
-        dr[i - 1] = k
-    return list(zip(dl, p, dr))
-
-
 def compile_plan(
     graph: TNGraph,
     major: BlockSide,
@@ -135,11 +115,6 @@ def compile_plan(
     steps: List[Step] = []
     swallowed: set = set()
     # map from (target_nid, target_leg) -> frontier position, rebuilt lazily
-    dims_now: List[Tuple[int, int, int]] = []  # per-site (Dl, p, Dr), mirrors executor
-
-    def site_dims() -> List[Tuple[int, int, int]]:
-        return dims_now
-
     for v in order:
         node = graph.nodes[v]
         n_legs = len(node.angles)
@@ -202,48 +177,15 @@ def compile_plan(
 
         perm = tuple(leg for _, leg in in_pos) + tuple(out_legs)
         out_dims = tuple(node.dims[leg] for leg in out_legs)
-
-        # --- static shape tracking (mirrors executor) ---
         n_in, n_out = len(in_pos), len(out_legs)
-        if n_in > 0:
-            dl = dims_now[start][0]
-            dr = dims_now[start + n_in - 1][2]
-        else:
-            dl = dr = 1
-        # blob [dl, out..., dr] split left-to-right by QR:
-        new_dims = []
-        left = dl
-        rest = int(np.prod(out_dims)) if out_dims else 1
-        for i, od in enumerate(out_dims):
-            rest //= od
-            bond = min(left * od, rest * dr)
-            new_dims.append((left, od, bond if i < n_out - 1 else dr))
-            left = bond
-        # replace frontier span
-        new_sites = []
-        for i, leg in enumerate(out_legs):
-            nb = node.neighbors[leg]
-            new_sites.append(
-                {"edge": (v, leg), "dim": node.dims[leg], "to": nb}
-            )
-        frontier[start : start + n_in] = new_sites
-        if n_out == 0 and n_in > 0:
-            # blob absorbed into a neighbour site (executor does the same)
-            if start > 0:
-                a, b, c = dims_now[start - 1]
-                dims_now[start - 1 : start + n_in] = [(a, b, dr)]
-            elif start + n_in < len(dims_now):
-                a, b, c = dims_now[start + n_in]
-                dims_now[start : start + n_in + 1] = [(dl, b, c)]
-            else:
-                dims_now[:] = []  # full contraction → scalar
-        else:
-            dims_now[start : start + n_in] = new_dims
 
-        # decide compression
-        need = any(d[0] > chi or d[2] > chi for d in dims_now)
-        if need:
-            dims_now[:] = _compress_dims(dims_now, chi)
+        # replace frontier span (index bookkeeping only — all shape logic
+        # happens at trace time in the executor)
+        new_sites = [
+            {"edge": (v, leg), "dim": node.dims[leg], "to": node.neighbors[leg]}
+            for leg in out_legs
+        ]
+        frontier[start : start + n_in] = new_sites
 
         steps.append(
             Step(
@@ -253,22 +195,14 @@ def compile_plan(
                 n_in=n_in,
                 n_out=n_out,
                 out_dims=out_dims,
-                compress_after=need,
+                compress_after=False,
             )
         )
         swallowed.add(v)
-
-    # final compression for a clean canonical output
-    if dims_now and not steps[-1].compress_after:
-        steps[-1] = Step(
-            steps[-1].source, steps[-1].perm, steps[-1].start, steps[-1].n_in,
-            steps[-1].n_out, steps[-1].out_dims, True,
-        )
-        dims_now[:] = _compress_dims(dims_now, chi)
 
     final_sites = [s["edge"] for s in frontier]
     final_targets = [s["to"] for s in frontier]
     return Plan(
         steps=steps, chi=chi, final_sites=final_sites,
-        final_dims=list(dims_now), final_targets=final_targets,
+        final_dims=[], final_targets=final_targets,
     )

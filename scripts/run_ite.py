@@ -40,6 +40,9 @@ def main(argv=None):
 
     import jax
 
+    from kagomeperiodicbp_tpu.utils.jaxtools import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.platform:
         jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else "axon,tpu")
     if args.dtype in ("complex128", "float64"):
