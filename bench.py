@@ -35,23 +35,24 @@ N, D, CHI = 2, 3, 18
 
 def main():
     dtype = jnp.complex64
-    from kagomeperiodicbp_tpu.algo import contraction as C
-    from kagomeperiodicbp_tpu.algo.bp import bp_step
+    from kagomeperiodicbp_tpu.algo import contraction as C, fused as F
     from kagomeperiodicbp_tpu.networks.unit_cell import UnitCell
 
     cell = UnitCell.random(d=2, D=D, key=jax.random.PRNGKey(0), dtype=dtype)
     fused = C.fused_cells(cell)
     msgs = C.initial_messages(N, D, CHI, model="uniform", dtype=dtype)
+    step = F.bp_iteration(N, D, CHI, CHI, None)
+    sites = F._msgs_to_sites(msgs)
 
     # warmup/compile
-    msgs = bp_step(fused, msgs, N, D, CHI, CHI)
-    jax.block_until_ready([m.sites for m in msgs.values()])
+    sites, err = step(fused, sites)
+    jax.block_until_ready(err)
 
-    n_sweeps = 10
+    n_sweeps = 20
     t0 = time.perf_counter()
     for _ in range(n_sweeps):
-        msgs = bp_step(fused, msgs, N, D, CHI, CHI)
-    jax.block_until_ready([m.sites for m in msgs.values()])
+        sites, err = step(fused, sites)
+    jax.block_until_ready(err)
     dt = (time.perf_counter() - t0) / n_sweeps
 
     sweeps_per_sec = 1.0 / dt

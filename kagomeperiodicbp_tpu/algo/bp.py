@@ -131,44 +131,53 @@ def belief_propagation(
     chi = config.chi_bubble
     dtype = config.dtype or cell.A.dtype
 
+    # clamp convergence thresholds to the working precision: the reference's
+    # 1e-10 default assumes float64; in float32/complex64 the message distance
+    # floors at ~30·eps, so an unclamped threshold would never terminate and
+    # the robust wrapper would escalate χ forever.
+    eps = float(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps)
+    terminate = max(config.msg_diff_terminate, 30 * eps)
+    good_enough = max(config.msg_diff_good_enough, 300 * eps)
+
     if messages is None:
         messages = C.initial_messages(
             N, D, chi_msg, model=config.init_model,
             key=jax.random.PRNGKey(config.seed), dtype=dtype,
         )
 
+    from . import fused as F
+
     fused = C.fused_cells(cell)
     stats = BPStats(final_config=config)
-    best_err, best_msgs = float("inf"), messages
+    step_fn = F.bp_iteration(N, D, chi, chi_msg, config.damping)
+    msg_sites = F._msgs_to_sites(messages)
+    best_err, best_sites = float("inf"), msg_sites
     prev_err = float("inf")
     increases = 0
 
     for it in range(config.max_iterations):
-        new = bp_step(fused, messages, N, D, chi, chi_msg)
-        err = bp_error(messages, new)
+        msg_sites, err_arr = step_fn(fused, msg_sites)
+        err = float(err_arr)
         stats.error_history.append(err)
-        if config.damping:
-            new = _damp(messages, new, config.damping, chi_msg, D)
-        messages = new
         if err < best_err:
-            best_err, best_msgs = err, messages
+            best_err, best_sites = err, msg_sites
         stats.iterations = it + 1
-        if err < config.msg_diff_terminate:
+        if err < terminate:
             break
         # failure heuristic: diverging error several times in a row
         # (reference: times_to_deem_failure_when_diff_increases, :261)
         increases = increases + 1 if err > prev_err else 0
         prev_err = err
-        if increases >= 4 and best_err < config.msg_diff_good_enough:
+        if increases >= 4 and best_err < good_enough:
             break
 
     stats.final_error = best_err
-    stats.success = best_err < config.msg_diff_good_enough
-    messages = best_msgs
+    stats.success = best_err < good_enough
 
     if config.hermitize_when_finished:
-        messages = {s: hermitize_message(m, D, chi_msg) for s, m in messages.items()}
+        best_sites = F.hermitize_all(N, D, chi_msg)(best_sites)
 
+    messages = F._sites_to_msgs(best_sites)
     stats.duration = time.time() - t0
     return messages, stats
 

@@ -1,0 +1,277 @@
+"""Fused jitted programs: one XLA program per BP iteration / edge update /
+edge measurement.
+
+The Python-level algorithm drivers (bp.py, ite.py, measurements.py) were
+originally composed of many small eager ops; on the TPU's remote compiler
+each unique op costs seconds to compile and ~0.5 ms to dispatch, so whole
+segments were glue-bound. Here entire algorithmic units trace into single
+programs, cached per static signature (and persisted via the compilation
+cache).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..enums import UpdateEdge, UnitCellFlavor
+from ..lattices import BlockSide, KagomeBlock
+from ..networks.graph import message_bond_profile
+from ..networks.unit_cell import fused_tensor
+from ..ops import ite_kernels as K
+from ..ops import mps as mpslib
+from ..ops.contract import execute_plan
+from ..ops.mps import MPS
+from . import contraction as C
+from . import edge_env as E
+
+MsgSites = Dict[int, Tuple[jnp.ndarray, ...]]  # side int → site arrays
+
+
+# ------------------------------ helpers -----------------------------------
+
+
+def _msgs_to_sites(messages) -> MsgSites:
+    return {int(s): tuple(m.sites) for s, m in messages.items()}
+
+
+def _sites_to_msgs(sites: MsgSites, rd=jnp.float32):
+    out = {}
+    for s, ss in sites.items():
+        out[BlockSide(s)] = MPS(tuple(ss), jnp.zeros((), ss[0].real.dtype if hasattr(ss[0], 'real') else rd))
+    return out
+
+
+def _make_fetch(fused, msg_sites: MsgSites):
+    def fetch(source):
+        if source[0] == "lat":
+            return fused[source[1] % 3]
+        _, side, k = source
+        return msg_sites[side][k]
+
+    return fetch
+
+
+def _one_outgoing(fused, msg_sites: MsgSites, N, D, chi, chi_msg, toward: int):
+    """Traced: outgoing message toward `toward`, canonical profile, unit
+    scale. (= contraction.outgoing_message, inlined for fusing)"""
+    from ..lattices.kagome import num_message_sites
+
+    plan = C.to_message_plan(N, D, chi, chi_msg, toward)
+    out = execute_plan(plan, _make_fetch(fused, msg_sites))
+    out = C.finalize_outgoing(out, plan, num_message_sites(N))
+    out = mpslib.compress(out, chi_msg)
+    out = mpslib.pad_bonds(out, message_bond_profile(N, D, chi_msg))
+    return MPS(out.sites, jnp.zeros_like(out.logscale))
+
+
+# --------------------------- fused BP iteration ----------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def bp_iteration(N: int, D: int, chi: int, chi_msg: int, damping: Optional[float]):
+    """jitted (fused, msg_sites) → (new_msg_sites, mean_distance)."""
+
+    def impl(fused, msg_sites: MsgSites):
+        new: MsgSites = {}
+        dists = []
+        for side in BlockSide:
+            out = _one_outgoing(fused, msg_sites, N, D, chi, chi_msg, int(side))
+            wrapped = out.reverse()
+            tgt = int(side.opposite())
+            old = MPS(tuple(msg_sites[tgt]), jnp.zeros_like(wrapped.logscale))
+            dists.append(mpslib.distance(old, wrapped))
+            if damping:
+                mixed = mpslib.add(wrapped, old, 1.0 - damping, damping)
+                mixed = mpslib.compress(mixed, chi_msg)
+                mixed = mpslib.pad_bonds(mixed, message_bond_profile(N, D, chi_msg))
+                wrapped = MPS(mixed.sites, jnp.zeros_like(mixed.logscale))
+            new[tgt] = tuple(wrapped.sites)
+        err = jnp.real(jnp.mean(jnp.stack(dists)))
+        return new, err
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def hermitize_all(N: int, D: int, chi_msg: int):
+    """jitted msg_sites → hermitized msg_sites (reference ITE.py:116)."""
+    from .bp import hermitize_message
+
+    def impl(msg_sites: MsgSites):
+        out = {}
+        for s, ss in msg_sites.items():
+            rd = jnp.zeros((), ss[0].dtype).real.dtype
+            m = MPS(tuple(ss), jnp.zeros((), rd))
+            out[s] = tuple(hermitize_message(m, D, chi_msg).sites)
+        return out
+
+    return jax.jit(impl)
+
+
+# --------------------------- fused edge update -----------------------------
+
+
+def _edge_env_traced(cells, msg_sites: MsgSites, N: int, chi: int, chi_msg: int,
+                     edge: UpdateEdge):
+    """Traced body of edge_environment (cells = (A,B,C) ket tensors)."""
+    D = cells[0].shape[1]
+    block = KagomeBlock.build(N)
+    geo = E.edge_geometry(N, D, chi, chi_msg, edge.direction())
+    n1, n2 = E.edge_pair(block, edge)
+    i1 = geo.chain.index(n1)
+
+    fused = tuple(fused_tensor(c) for c in cells)
+    fetch_plan = _make_fetch(fused, msg_sites)
+    top = execute_plan(geo.top_plan, fetch_plan)
+    bot = execute_plan(geo.bot_plan, fetch_plan)
+
+    graph = C._graph_for(N, D, chi_msg, tuple(int(s) for s in BlockSide))
+
+    def fetch(v):
+        src = graph.nodes[v].source
+        if src[0] == "lat":
+            return fused[src[1] % 3]
+        _, side, k = src
+        return msg_sites[side][k]
+
+    def node_perm(v, incoming, outgoing):
+        tl, bl = geo.top_leg[v], geo.bot_leg[v]
+        order = [tl]
+        if incoming is not None:
+            order.append(incoming)
+        order.append(bl)
+        if outgoing is not None:
+            order.append(outgoing)
+        return tuple(order)
+
+    dtype = top.sites[0].dtype
+    logs = top.logscale + bot.logscale
+
+    L = jnp.ones((1, 1, 1), dtype)
+    for i in range(i1):
+        v = geo.chain[i]
+        perm = node_perm(v, geo.chain_leg_bwd[v], geo.chain_leg_fwd[v])
+        L = E._ladder_step(L, top.sites[geo.top_site_of[v]],
+                           bot.sites[geo.bot_site_of[v]], fetch(v), perm)
+        L, logs = E._norm_rescale(L, logs)
+
+    R = jnp.ones((1, 1, 1), dtype)
+    for i in range(len(geo.chain) - 1, i1 + 1, -1):
+        v = geo.chain[i]
+        perm = node_perm(v, geo.chain_leg_fwd[v], geo.chain_leg_bwd[v])
+        R = E._ladder_step(R, E._flip(top.sites[geo.top_site_of[v]]),
+                           E._flip(bot.sites[geo.bot_site_of[v]]), fetch(v), perm)
+        R, logs = E._norm_rescale(R, logs)
+
+    def split(t):
+        a, p, b = t.shape
+        return t.reshape(a, D, D, b)
+
+    ts1 = top.sites[geo.top_site_of[n1]]
+    ts2 = top.sites[geo.top_site_of[n2]]
+    bs1 = bot.sites[geo.bot_site_of[n1]]
+    bs2 = bot.sites[geo.bot_site_of[n2]]
+    env = [
+        split(jnp.transpose(ts1, (2, 1, 0))),
+        split(L),
+        split(jnp.transpose(bs1, (2, 1, 0))),
+        split(jnp.transpose(bs2, (2, 1, 0))),
+        split(jnp.transpose(R, (2, 1, 0))),
+        split(jnp.transpose(ts2, (2, 1, 0))),
+    ]
+
+    cell_like = {"A": cells[0], "B": cells[1], "C": cells[2]}
+
+    class _CellView:
+        def __getitem__(self, f):
+            return cell_like[f]
+
+        @property
+        def D(self):
+            return D
+
+    t1, perm1 = E._canonical_ket(_CellView(), block, n1, edge.direction())
+    t2, perm2 = E._canonical_ket(_CellView(), block, n2, edge.direction().opposite())
+    return t1, t2, env, (perm1, perm2)
+
+
+def _rho_health(rho):
+    d1, d2 = rho.shape[0], rho.shape[2]
+    m = jnp.transpose(rho, (0, 2, 1, 3)).reshape(d1 * d2, d1 * d2)
+    herm = jnp.linalg.norm(m - jnp.conj(m.T)) / jnp.maximum(jnp.linalg.norm(m), 1e-300)
+    mh = 0.5 * (m + jnp.conj(m.T))
+    w = jnp.linalg.eigvalsh(mh)
+    sum_eig = jnp.sum(w)
+    # negativity from the partial transpose (hermitian for hermitian ρ)
+    pt = jnp.transpose(rho, (0, 3, 2, 1)).reshape(d1 * d2, d1 * d2)
+    pt = 0.5 * (pt + jnp.conj(pt.T))
+    wpt = jnp.linalg.eigvalsh(pt)
+    neg = jnp.sum(jnp.where(wpt < 0, -wpt, 0.0))
+    return herm, sum_eig, neg
+
+
+def _unpermute(t, perm):
+    inv = [0] * 4
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return jnp.transpose(t, (0,) + tuple(i + 1 for i in inv))
+
+
+@functools.lru_cache(maxsize=None)
+def edge_update(N: int, D: int, chi: int, chi_msg: int, edge: UpdateEdge,
+                als_iters: int, normalize: bool):
+    """jitted (cells, msg_sites, h, dt) → (new_cells, energy, herm, sum_eig, neg).
+
+    One full ITE edge update: sandwich env → gate → ALS → write-back,
+    plus post-update RDM health numbers (reference _tn_update.py:165).
+    """
+
+    def impl(cells, msg_sites: MsgSites, h, dt):
+        t1, t2, env, (perm1, perm2) = _edge_env_traced(
+            cells, msg_sites, N, chi, chi_msg, edge
+        )
+        g = K.gate_from_hamiltonian(h, dt)
+        t1n, t2n, w = K.apply_gate(g, D, t1, t2, env, als_iters=als_iters)
+        rho = K.rho_ij(t1n, t2n, env)
+        energy = jnp.real(jnp.einsum("iIjJ,iIjJ->", rho, h))
+        herm, sum_eig, neg = _rho_health(rho)
+        if normalize:
+            t1n = t1n / jnp.linalg.norm(t1n)
+            t2n = t2n / jnp.linalg.norm(t2n)
+        new_cells = list(cells)
+        new_cells[int(edge.first)] = _unpermute(t1n, perm1)
+        new_cells[int(edge.second)] = _unpermute(t2n, perm2)
+        return tuple(new_cells), energy, herm, sum_eig, neg
+
+    return jax.jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def edge_measure(N: int, D: int, chi: int, chi_msg: int, edge: UpdateEdge):
+    """jitted (cells, msg_sites, h) → (energy, negativity, ⟨xyz⟩ per site).
+
+    One full per-edge measurement (reference measurements.py:163 inner loop).
+    """
+
+    def impl(cells, msg_sites: MsgSites, h):
+        t1, t2, env, _ = _edge_env_traced(cells, msg_sites, N, chi, chi_msg, edge)
+        rho = K.rho_ij(t1, t2, env)
+        energy = jnp.einsum("iIjJ,iIjJ->", rho, h)
+        _, _, neg = _rho_health(rho)
+        rho_i = jnp.einsum("iIjj->iI", rho)
+        rho_j = jnp.einsum("iijJ->jJ", rho)
+        from ..physics import pauli
+
+        exps = {}
+        for name in ("x", "y", "z"):
+            op = jnp.asarray(pauli.ALL[name], dtype=rho.dtype)
+            exps[name] = (
+                jnp.einsum("iI,Ii->", rho_i, op),
+                jnp.einsum("jJ,Jj->", rho_j, op),
+            )
+        return energy, neg, exps
+
+    return jax.jit(impl)

@@ -148,41 +148,35 @@ def ite_update_edge(
 ) -> Tuple[UnitCell, float, dict]:
     """One edge update: env → gate → ALS → write back.
     (reference: _tn_update.py:165)"""
+    from . import fused as F
+
     D = cell.D
-    t1, t2, env, (perm1, perm2) = E.edge_environment(cell, messages, N, chi, chi_msg, edge)
-    g = K.gate_from_hamiltonian(jnp.asarray(h), dt)
-    t1n, t2n, w = K.apply_gate(g, D, t1, t2, env, als_iters=config.als_iterations)
-
-    # post-update energy + health metrics on the SAME environment
-    rho = K.rho_ij(t1n, t2n, env)
-    energy = float(np.real(np.einsum("iIjJ,iIjJ->", np.asarray(rho), np.asarray(h))))
-    from ..physics.metrics import calc_metrics
-
-    m = calc_metrics(np.asarray(rho))
+    dtype = cell.A.dtype
+    h_arr = jnp.asarray(
+        np.real(h) if not jnp.issubdtype(dtype, jnp.complexfloating) else h, dtype
+    )
+    upd = F.edge_update(
+        N, D, chi, chi_msg, edge, config.als_iterations,
+        config.normalize_tensors_after_update,
+    )
+    cells = (cell.A, cell.B, cell.C)
+    dt_arr = jnp.asarray(dt, jnp.zeros((), dtype).real.dtype)
+    new_cells, energy, herm, sum_eig, neg = upd(
+        cells, F._msgs_to_sites(messages), h_arr, dt_arr
+    )
+    energy_f = float(energy)
     health = {
-        "hermicity": m.hermicity,
-        "negativity": m.negativity,
-        "sum_eigenvalues": m.sum_eigenvalues,
+        "hermicity": float(herm),
+        "negativity": float(neg),
+        "sum_eigenvalues": float(jnp.real(sum_eig)),
     }
-    if m.hermicity > 1e-3 or abs(m.sum_eigenvalues - 1) > 1e-3:
+    eps = float(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps)
+    tol = max(1e-3, 3e4 * eps)
+    if health["hermicity"] > tol or abs(health["sum_eigenvalues"] - 1) > tol:
         raise ITEError(f"unhealthy environment after update: {health}")
 
-    if config.normalize_tensors_after_update:
-        t1n = t1n / jnp.linalg.norm(t1n)
-        t2n = t2n / jnp.linalg.norm(t2n)
-
-    # write back through the inverse leg permutations
-    def unpermute(t, perm):
-        inv = [0] * 4
-        for i, p in enumerate(perm):
-            inv[p] = i
-        return jnp.transpose(t, (0,) + tuple(i + 1 for i in inv))
-
-    new = {f: cell[f] for f in ("A", "B", "C")}
-    new[edge.first.name] = unpermute(t1n, perm1)
-    new[edge.second.name] = unpermute(t2n, perm2)
-    cell = UnitCell(new["A"], new["B"], new["C"], rotated=cell.rotated)
-    return cell, energy, health
+    cell = UnitCell(new_cells[0], new_cells[1], new_cells[2], rotated=cell.rotated)
+    return cell, energy_f, health
 
 
 def full_ite(

@@ -55,20 +55,28 @@ def measure_energies_and_observables(
     h: np.ndarray,
     force_real: bool = True,
 ) -> MeasurementsOnUnitCell:
+    from . import fused as F
+    import jax.numpy as jnp
+
     out = MeasurementsOnUnitCell()
     acc = {f: {k: [] for k in "xyz"} for f in "ABC"}
-    h_j = np.asarray(h)
+    dtype = cell.A.dtype
+    h_j = jnp.asarray(
+        np.real(h) if not jnp.issubdtype(dtype, jnp.complexfloating) else h, dtype
+    )
+    cells = (cell.A, cell.B, cell.C)
+    msg_sites = F._msgs_to_sites(messages)
 
     for edge in UpdateEdge.all_options():
-        t1, t2, env, _ = E.edge_environment(cell, messages, N, chi, chi_msg, edge)
-        rho = np.asarray(K.rho_ij(t1, t2, env))
-        e = complex(np.einsum("iIjJ,iIjJ->", rho, h_j))
+        measure = F.edge_measure(N, cell.D, chi, chi_msg, edge)
+        energy, neg, exps = measure(cells, msg_sites, h_j)
+        e = complex(energy)
         key = str(edge)
         out.energies[key] = float(e.real) if force_real else e
-        out.entanglement[key] = metrics.negativity(rho)
-        per_site = expectation_values_with_rdm(rho)
+        out.entanglement[key] = float(neg)
         f1, f2 = edge.first.name, edge.second.name
-        for k, (vi, vj) in per_site.items():
+        for k, (vi, vj) in exps.items():
+            vi, vj = complex(vi), complex(vj)
             acc[f1][k].append(vi.real if force_real else vi)
             acc[f2][k].append(vj.real if force_real else vj)
 

@@ -12,6 +12,17 @@ PINV_RTOL = 1e-10  # reference PINV_THRESH (libs/ITE.py:97-ish constants)
 ROBUST_FACTOR = 1e8
 
 
+def rtol_for(dtype) -> float:
+    """Regularisation threshold scaled to the working precision: the
+    reference's 1e-10 assumes float64; below float32 epsilon it would be a
+    no-op, so widen it there."""
+    import jax.numpy as jnp
+
+    if jnp.finfo(jnp.zeros((), dtype).real.dtype).bits <= 32:
+        return 1e-6
+    return PINV_RTOL
+
+
 def qr_stable(a: jnp.ndarray):
     """Thin QR with R's diagonal made real-nonnegative (unique gauge).
 
@@ -44,21 +55,24 @@ def robust_solve(n_mat: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """
     norm_n = jnp.linalg.norm(n_mat, ord=2)
     eye = jnp.eye(n_mat.shape[0], dtype=n_mat.dtype)
+    rtol = rtol_for(n_mat.dtype)
     x0 = jnp.linalg.solve(n_mat, b)
-    x1 = jnp.linalg.solve(n_mat + eye * (PINV_RTOL * norm_n), b)
+    x1 = jnp.linalg.solve(n_mat + eye * (rtol * norm_n), b)
     bad = ~jnp.isfinite(jnp.linalg.norm(x0)) | (
         jnp.linalg.norm(x0) > ROBUST_FACTOR * jnp.linalg.norm(b) / jnp.maximum(norm_n, 1e-300)
     )
     return jnp.where(bad, x1, x0)
 
 
-def eigh_psd_sqrt(n_mat: jnp.ndarray, rtol: float = 1e-12):
+def eigh_psd_sqrt(n_mat: jnp.ndarray, rtol: float | None = None):
     """Hermitise, clip negative eigenvalues, return (X, w) with N ≈ X X†.
 
     Unlike the reference (libs/ITE.py:1198-1228) we keep the full static
     width and zero the clipped columns instead of slicing, so shapes stay
     static under jit. Returns the raw eigenvalues w for diagnostics.
     """
+    if rtol is None:
+        rtol = min(rtol_for(n_mat.dtype), 1e-12) if rtol_for(n_mat.dtype) < 1e-7 else 1e-6
     n_mat = 0.5 * (n_mat + jnp.conj(n_mat.T))
     w, u = jnp.linalg.eigh(n_mat)
     wmax = jnp.maximum(w[-1], 0.0)
@@ -68,4 +82,4 @@ def eigh_psd_sqrt(n_mat: jnp.ndarray, rtol: float = 1e-12):
 
 
 def pinv_reg(a: jnp.ndarray) -> jnp.ndarray:
-    return jnp.linalg.pinv(a, rtol=PINV_RTOL)
+    return jnp.linalg.pinv(a, rtol=rtol_for(a.dtype))
