@@ -52,14 +52,18 @@ def full_scalar_plan(N: int, D: int, chi: int, chi_msg: int, toward: int = int(B
 # --------------------------- tensor binding -------------------------------
 
 
-def fused_cells(cell: UnitCell) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def fused_cells(cell) -> Tuple[jnp.ndarray, ...]:
+    """Fused double-layer tensors: 3 for a UnitCell, one per site for a
+    per-site view (anything exposing `_tensors`)."""
+    if hasattr(cell, "_tensors"):
+        return tuple(fused_tensor(t) for t in cell._tensors)
     return tuple(fused_tensor(cell[f]) for f in FLAVORS)
 
 
 def _make_fetch(fused: Sequence[jnp.ndarray], msgs: Dict[int, Tuple[jnp.ndarray, ...]]):
     def fetch(source):
         if source[0] == "lat":
-            return fused[source[1] % 3]
+            return fused[source[1] % len(fused)]
         _, side, k = source
         return msgs[side][k]
 
@@ -79,7 +83,9 @@ def _jitted_runner(plan: Plan):
             fetch = _make_fetch(fused, msg_sites)
             return execute_plan(plan, fetch)
 
-        _RUNNER_CACHE[key] = jax.jit(run)
+        from ..utils.jaxtools import resilient_jit
+
+        _RUNNER_CACHE[key] = resilient_jit(run)
     return _RUNNER_CACHE[key]
 
 

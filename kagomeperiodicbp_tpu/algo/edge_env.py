@@ -322,8 +322,9 @@ def edge_environment(
     ]
 
     # --- pair ket tensors in canonical order ---
-    t1, perm1 = _canonical_ket(cell, block, n1, edge.direction())
-    t2, perm2 = _canonical_ket(cell, block, n2, edge.direction().opposite())
+    tensor_of = lambda v: cell[FLAVORS[v % 3]]
+    t1, perm1 = _canonical_ket(tensor_of, block, n1, edge.direction())
+    t2, perm2 = _canonical_ket(tensor_of, block, n2, edge.direction().opposite())
     return t1, t2, env, (perm1, perm2)
 
 
@@ -335,10 +336,10 @@ def _ladder_full_step(T, top_site, bot_site, tensor, perm):
     return _ladder_step(T, top_site, bot_site, tensor, perm)
 
 
-def _canonical_ket(cell: UnitCell, block: KagomeBlock, v: int, edge_dir: LatticeDir):
-    """Cell tensor of node v permuted to [d, edge, ccw-from-edge…].
+def _canonical_ket(tensor_of, block: KagomeBlock, v: int, edge_dir: LatticeDir):
+    """Ket tensor of node v permuted to [d, edge, ccw-from-edge…].
+    `tensor_of(v)` must return the [d, 4-leg] ket tensor of node v.
     Returns (tensor, virtual-leg permutation)."""
-    flavor = FLAVORS[v % 3]
     dirs = block.node_dirs(v)
     e = dirs.index(edge_dir)
     rest = sorted(
@@ -346,5 +347,5 @@ def _canonical_ket(cell: UnitCell, block: KagomeBlock, v: int, edge_dir: Lattice
         key=lambda i: (dirs[i].angle - edge_dir.angle) % (2 * math.pi),
     )
     perm = (e,) + tuple(rest)
-    t = jnp.transpose(cell[flavor], (0,) + tuple(p + 1 for p in perm))
+    t = jnp.transpose(tensor_of(v), (0,) + tuple(p + 1 for p in perm))
     return t, perm

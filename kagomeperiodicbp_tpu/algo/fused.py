@@ -24,6 +24,7 @@ from ..ops import ite_kernels as K
 from ..ops import mps as mpslib
 from ..ops.contract import execute_plan
 from ..ops.mps import MPS
+from ..utils.jaxtools import resilient_jit
 from . import contraction as C
 from . import edge_env as E
 
@@ -47,7 +48,7 @@ def _sites_to_msgs(sites: MsgSites, rd=jnp.float32):
 def _make_fetch(fused, msg_sites: MsgSites):
     def fetch(source):
         if source[0] == "lat":
-            return fused[source[1] % 3]
+            return fused[source[1] % len(fused)]
         _, side, k = source
         return msg_sites[side][k]
 
@@ -71,28 +72,47 @@ def _one_outgoing(fused, msg_sites: MsgSites, N, D, chi, chi_msg, toward: int):
 
 
 @functools.lru_cache(maxsize=None)
-def bp_iteration(N: int, D: int, chi: int, chi_msg: int, damping: Optional[float]):
-    """jitted (fused, msg_sites) → (new_msg_sites, mean_distance)."""
+def _one_side_update(N: int, D: int, chi: int, chi_msg: int,
+                     damping: Optional[float], toward: int):
+    """jitted (fused, msg_sites) → (wrapped_sites, distance) for one side.
+
+    Kept per-side (rather than one 6-side program) deliberately: the
+    experimental axon compiler miscompiles very large programs into
+    executables that fail with UNIMPLEMENTED at run time; programs of this
+    size are verified good."""
 
     def impl(fused, msg_sites: MsgSites):
+        out = _one_outgoing(fused, msg_sites, N, D, chi, chi_msg, toward)
+        wrapped = out.reverse()
+        tgt = int(BlockSide(toward).opposite())
+        old = MPS(tuple(msg_sites[tgt]), jnp.zeros_like(wrapped.logscale))
+        dist = jnp.real(mpslib.distance(old, wrapped))
+        if damping:
+            mixed = mpslib.add(wrapped, old, 1.0 - damping, damping)
+            mixed = mpslib.compress(mixed, chi_msg)
+            mixed = mpslib.pad_bonds(mixed, message_bond_profile(N, D, chi_msg))
+            wrapped = MPS(mixed.sites, jnp.zeros_like(mixed.logscale))
+        return tuple(wrapped.sites), dist
+
+    return resilient_jit(impl)
+
+
+def bp_iteration(N: int, D: int, chi: int, chi_msg: int, damping: Optional[float]):
+    """(fused, msg_sites) → (new_msg_sites, mean_distance): one synchronous
+    BP sweep, dispatched as 6 per-side jitted programs."""
+    fns = {int(s): _one_side_update(N, D, chi, chi_msg, damping, int(s)) for s in BlockSide}
+
+    def run(fused, msg_sites: MsgSites):
         new: MsgSites = {}
         dists = []
         for side in BlockSide:
-            out = _one_outgoing(fused, msg_sites, N, D, chi, chi_msg, int(side))
-            wrapped = out.reverse()
-            tgt = int(side.opposite())
-            old = MPS(tuple(msg_sites[tgt]), jnp.zeros_like(wrapped.logscale))
-            dists.append(mpslib.distance(old, wrapped))
-            if damping:
-                mixed = mpslib.add(wrapped, old, 1.0 - damping, damping)
-                mixed = mpslib.compress(mixed, chi_msg)
-                mixed = mpslib.pad_bonds(mixed, message_bond_profile(N, D, chi_msg))
-                wrapped = MPS(mixed.sites, jnp.zeros_like(mixed.logscale))
-            new[tgt] = tuple(wrapped.sites)
-        err = jnp.real(jnp.mean(jnp.stack(dists)))
+            wrapped, dist = fns[int(side)](fused, msg_sites)
+            new[int(side.opposite())] = wrapped
+            dists.append(dist)
+        err = jnp.mean(jnp.stack(dists))
         return new, err
 
-    return jax.jit(impl)
+    return run
 
 
 @functools.lru_cache(maxsize=None)
@@ -108,7 +128,7 @@ def hermitize_all(N: int, D: int, chi_msg: int):
             out[s] = tuple(hermitize_message(m, D, chi_msg).sites)
         return out
 
-    return jax.jit(impl)
+    return resilient_jit(impl)
 
 
 # --------------------------- fused edge update -----------------------------
@@ -133,7 +153,7 @@ def _edge_env_traced(cells, msg_sites: MsgSites, N: int, chi: int, chi_msg: int,
     def fetch(v):
         src = graph.nodes[v].source
         if src[0] == "lat":
-            return fused[src[1] % 3]
+            return fused[src[1] % len(fused)]
         _, side, k = src
         return msg_sites[side][k]
 
@@ -183,18 +203,9 @@ def _edge_env_traced(cells, msg_sites: MsgSites, N: int, chi: int, chi_msg: int,
         split(jnp.transpose(ts2, (2, 1, 0))),
     ]
 
-    cell_like = {"A": cells[0], "B": cells[1], "C": cells[2]}
-
-    class _CellView:
-        def __getitem__(self, f):
-            return cell_like[f]
-
-        @property
-        def D(self):
-            return D
-
-    t1, perm1 = E._canonical_ket(_CellView(), block, n1, edge.direction())
-    t2, perm2 = E._canonical_ket(_CellView(), block, n2, edge.direction().opposite())
+    tensor_of = lambda v: cells[v % len(cells)]
+    t1, perm1 = E._canonical_ket(tensor_of, block, n1, edge.direction())
+    t2, perm2 = E._canonical_ket(tensor_of, block, n2, edge.direction().opposite())
     return t1, t2, env, (perm1, perm2)
 
 
@@ -221,18 +232,21 @@ def _unpermute(t, perm):
 
 
 @functools.lru_cache(maxsize=None)
-def edge_update(N: int, D: int, chi: int, chi_msg: int, edge: UpdateEdge,
-                als_iters: int, normalize: bool):
-    """jitted (cells, msg_sites, h, dt) → (new_cells, energy, herm, sum_eig, neg).
+def _edge_env_jit(N: int, D: int, chi: int, chi_msg: int, edge: UpdateEdge):
+    """jitted (cells, msg_sites) → (t1, t2, env) — the sandwich env alone."""
 
-    One full ITE edge update: sandwich env → gate → ALS → write-back,
-    plus post-update RDM health numbers (reference _tn_update.py:165).
-    """
+    def impl(cells, msg_sites: MsgSites):
+        t1, t2, env, _ = _edge_env_traced(cells, msg_sites, N, chi, chi_msg, edge)
+        return t1, t2, env
 
-    def impl(cells, msg_sites: MsgSites, h, dt):
-        t1, t2, env, (perm1, perm2) = _edge_env_traced(
-            cells, msg_sites, N, chi, chi_msg, edge
-        )
+    return resilient_jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _gate_als_jit(D: int, edge: UpdateEdge, als_iters: int, normalize: bool):
+    """jitted (t1, t2, env, h, dt) → (t1n, t2n, energy, herm, sum_eig, neg)."""
+
+    def impl(t1, t2, env, h, dt):
         g = K.gate_from_hamiltonian(h, dt)
         t1n, t2n, w = K.apply_gate(g, D, t1, t2, env, als_iters=als_iters)
         rho = K.rho_ij(t1n, t2n, env)
@@ -241,23 +255,44 @@ def edge_update(N: int, D: int, chi: int, chi_msg: int, edge: UpdateEdge,
         if normalize:
             t1n = t1n / jnp.linalg.norm(t1n)
             t2n = t2n / jnp.linalg.norm(t2n)
+        return t1n, t2n, energy, herm, sum_eig, neg
+
+    return resilient_jit(impl)
+
+
+def edge_update(N: int, D: int, chi: int, chi_msg: int, edge: UpdateEdge,
+                als_iters: int, normalize: bool):
+    """(cells, msg_sites, h, dt) → (new_cells, energy, herm, sum_eig, neg).
+
+    One full ITE edge update (reference _tn_update.py:165), dispatched as
+    two medium jitted programs (env; gate+ALS) — see _one_side_update note.
+    """
+    env_fn = _edge_env_jit(N, D, chi, chi_msg, edge)
+    als_fn = _gate_als_jit(D, edge, als_iters, normalize)
+
+    block = KagomeBlock.build(N)
+    n1, n2 = E.edge_pair(block, edge)
+
+    def run(cells, msg_sites: MsgSites, h, dt):
+        t1, t2, env = env_fn(cells, msg_sites)
+        t1n, t2n, energy, herm, sum_eig, neg = als_fn(t1, t2, env, h, dt)
+        # recover the write-back permutations (host-side, static)
+        _, p1 = E._canonical_ket(lambda v: cells[v % len(cells)], block, n1, edge.direction())
+        _, p2 = E._canonical_ket(lambda v: cells[v % len(cells)], block, n2,
+                                 edge.direction().opposite())
         new_cells = list(cells)
-        new_cells[int(edge.first)] = _unpermute(t1n, perm1)
-        new_cells[int(edge.second)] = _unpermute(t2n, perm2)
+        new_cells[int(edge.first)] = _unpermute(t1n, p1)
+        new_cells[int(edge.second)] = _unpermute(t2n, p2)
         return tuple(new_cells), energy, herm, sum_eig, neg
 
-    return jax.jit(impl)
+    return run
 
 
 @functools.lru_cache(maxsize=None)
-def edge_measure(N: int, D: int, chi: int, chi_msg: int, edge: UpdateEdge):
-    """jitted (cells, msg_sites, h) → (energy, negativity, ⟨xyz⟩ per site).
+def _measure_from_env_jit(edge: UpdateEdge):
+    """jitted (t1, t2, env, h) → (energy, neg, exps)."""
 
-    One full per-edge measurement (reference measurements.py:163 inner loop).
-    """
-
-    def impl(cells, msg_sites: MsgSites, h):
-        t1, t2, env, _ = _edge_env_traced(cells, msg_sites, N, chi, chi_msg, edge)
+    def impl(t1, t2, env, h):
         rho = K.rho_ij(t1, t2, env)
         energy = jnp.einsum("iIjJ,iIjJ->", rho, h)
         _, _, neg = _rho_health(rho)
@@ -274,4 +309,17 @@ def edge_measure(N: int, D: int, chi: int, chi_msg: int, edge: UpdateEdge):
             )
         return energy, neg, exps
 
-    return jax.jit(impl)
+    return resilient_jit(impl)
+
+
+def edge_measure(N: int, D: int, chi: int, chi_msg: int, edge: UpdateEdge):
+    """(cells, msg_sites, h) → (energy, negativity, ⟨xyz⟩ per site) — one
+    per-edge measurement (reference measurements.py:163 inner loop)."""
+    env_fn = _edge_env_jit(N, D, chi, chi_msg, edge)
+    meas_fn = _measure_from_env_jit(edge)
+
+    def run(cells, msg_sites: MsgSites, h):
+        t1, t2, env = env_fn(cells, msg_sites)
+        return meas_fn(t1, t2, env, h)
+
+    return run

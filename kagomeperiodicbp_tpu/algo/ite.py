@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..enums import UpdateEdge, UpdateMode
+from ..utils.jaxtools import to_numpy as _to_numpy
 from ..networks.unit_cell import UnitCell
 from ..ops import ite_kernels as K
 from . import edge_env as E
@@ -106,7 +107,7 @@ class ITETracker:
             "delta_ts": self.delta_ts,
             "energies": self.energies,
             "best_energy": self.best_energy,
-            "best_cell": {k: np.asarray(v) for k, v in self.best_cell.items()}
+            "best_cell": {k: _to_numpy(v) for k, v in self.best_cell.items()}
             if self.best_cell is not None
             else None,
         }
@@ -191,6 +192,9 @@ def full_ite(
     tracker: Optional[ITETracker] = None,
     dtype=jnp.complex128,
     measure_every_segment: bool = True,
+    save_best_store: bool = False,
+    measurement_N: Optional[int] = None,
+    measurement_chi_factor: float = 1.0,
 ) -> Tuple[float, UnitCell, ITETracker]:
     """The main ITE driver (reference: main.py:704)."""
     log = logger or logging.getLogger("ite")
@@ -234,13 +238,28 @@ def full_ite(
                     seg.edge_energies[str(edge)] = energy
 
             if measure_every_segment:
+                # measurement-time hardening: larger block + wider chi
+                # (reference: change_config_for_measurements_func,
+                # run_ite.py:49-55 -> main.py:133-151)
+                import dataclasses as _dc
+
+                n_m = measurement_N or N
+                bp_m = _dc.replace(
+                    bp_config,
+                    trunc_dim=int(bp_config.trunc_dim * measurement_chi_factor),
+                )
+                chi_m = int(chi * measurement_chi_factor)
                 cell_m = cell.force_zero_rotation()
-                messages_m, bst = robust_belief_propagation(cell_m, None, bp_config, N)
+                messages_m, bst = robust_belief_propagation(cell_m, None, bp_m, n_m)
                 meas = measure_energies_and_observables(
-                    cell_m, messages_m, N, chi, bp_config.trunc_dim, h
+                    cell_m, messages_m, n_m, chi_m, bp_m.trunc_dim, h
                 )
                 seg.mean_energy = meas.mean_energy
                 tracker.log_segment(dt, cell_m, meas, seg)
+                if save_best_store:
+                    from ..utils.best_store import save_if_best
+
+                    save_if_best(cell_m, meas.mean_energy, D)
                 log.info(
                     "dt=%.2e  step=%d  energy/site=%.10f  best=%.10f",
                     dt, step_idx, meas.mean_energy, tracker.best_energy,

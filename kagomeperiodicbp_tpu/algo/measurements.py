@@ -64,19 +64,21 @@ def measure_energies_and_observables(
     h_j = jnp.asarray(
         np.real(h) if not jnp.issubdtype(dtype, jnp.complexfloating) else h, dtype
     )
-    cells = (cell.A, cell.B, cell.C)
+    cells = tuple(cell._tensors) if hasattr(cell, "_tensors") else (cell.A, cell.B, cell.C)
     msg_sites = F._msgs_to_sites(messages)
+
+    from ..utils.jaxtools import to_complex_scalar
 
     for edge in UpdateEdge.all_options():
         measure = F.edge_measure(N, cell.D, chi, chi_msg, edge)
         energy, neg, exps = measure(cells, msg_sites, h_j)
-        e = complex(energy)
+        e = to_complex_scalar(energy)
         key = str(edge)
         out.energies[key] = float(e.real) if force_real else e
         out.entanglement[key] = float(neg)
         f1, f2 = edge.first.name, edge.second.name
         for k, (vi, vj) in exps.items():
-            vi, vj = complex(vi), complex(vj)
+            vi, vj = to_complex_scalar(vi), to_complex_scalar(vj)
             acc[f1][k].append(vi.real if force_real else vi)
             acc[f2][k].append(vj.real if force_real else vj)
 

@@ -177,35 +177,63 @@ def rows_in_direction(N: int, major: BlockSide) -> List[List[int]]:
 
 
 @functools.cache
-def periodic_shift_permutation(N: int, d: LatticeDir) -> Tuple[int, ...]:
-    """Permutation p with p[v] = index of the vertex that v moves to when the
-    whole block is shifted one lattice step in direction d, with periodic
-    wrap-around (used by KagomeTNArbitrary-style shifted measurements;
-    reference: triangle.py:1020).
+def _torus_coords(N: int) -> Dict[Tuple[int, int], int]:
+    """Integer lattice coordinates (m1, m2) in the (a1=R, a2=DR) basis for
+    every cluster vertex."""
+    coords: Dict[Tuple[int, int], int] = {}
+    for v in range(total_vertices(N)):
+        i, j = vertex_coordinates(v, N)
+        x, _ = vertex_position(i, j, N)
+        m2 = i
+        num = round(x) - m2
+        # all vertices share the parity of (1 − N); shift to make it even
+        num -= (1 - N) % 2
+        assert num % 2 == 0
+        coords[(num // 2, m2)] = v
+    return coords
 
-    The wrap rule identifies boundary edge k of side S with boundary edge
-    (n−1−k) of side S.opposite() — the same identification used for the BP
-    message wrap.
-    """
+
+# unit steps of the 6 lattice directions in the (a1=R, a2=DR) basis
+_DIR_STEPS = {
+    LatticeDir.R: (1, 0),
+    LatticeDir.L: (-1, 0),
+    LatticeDir.DR: (0, 1),
+    LatticeDir.UL: (0, -1),
+    LatticeDir.DL: (-1, 1),
+    LatticeDir.UR: (1, -1),
+}
+
+
+@functools.cache
+def _superlattice(N: int) -> Tuple[Tuple[int, int], Tuple[int, int]]:
+    """Translation vectors identifying opposite faces of the hexagonal
+    cluster (torus quotient). det = 3N²−3N+1 = cluster size; validated by
+    the wrap construction below."""
+    return (N, N - 1), (-(N - 1), 2 * N - 1)
+
+
+@functools.cache
+def periodic_shift_permutation(N: int, d: LatticeDir) -> Tuple[int, ...]:
+    """Permutation p with p[v] = vertex that v moves to under a one-step
+    periodic shift in direction d — the hexagonal cluster viewed as a torus
+    (reference: triangle.py:1020 `shift_periodically_in_direction`)."""
+    coords = _torus_coords(N)
+    inv = {v: c for c, v in coords.items()}
+    l1, l2 = _superlattice(N)
+    delta = _DIR_STEPS[d]
     nv = total_vertices(N)
     perm = [None] * nv
-    taken = [False] * nv
-    # First pass: interior moves
     for v in range(nv):
-        n = neighbor_index(v, d, N)
-        if n is not None:
-            perm[v] = n
-            taken[n] = True
-    # Second pass: wrap the ones that fell off, by matching free slots along
-    # the opposite face via position ordering.
-    fell_off = [v for v in range(nv) if perm[v] is None]
-    free = [v for v in range(nv) if not taken[v]]
-    assert len(fell_off) == len(free)
-    pos = all_positions(N)
-    # sort both sets along the direction orthogonal to the shift:
-    perp = np.array([-d.unit[1], d.unit[0]])
-    fell_off.sort(key=lambda v: float(pos[v] @ perp))
-    free.sort(key=lambda v: float(pos[v] @ perp))
-    for v, slot in zip(fell_off, free):
-        perm[v] = slot
+        c = inv[v]
+        tgt = (c[0] + delta[0], c[1] + delta[1])
+        hit = None
+        for i in (-1, 0, 1):
+            for j in (-1, 0, 1):
+                cand = (tgt[0] - i * l1[0] - j * l2[0], tgt[1] - i * l1[1] - j * l2[1])
+                if cand in coords:
+                    assert hit is None, f"ambiguous wrap for v={v}"
+                    hit = coords[cand]
+        assert hit is not None, f"no wrap target for v={v}"
+        perm[v] = hit
+    assert sorted(perm) == list(range(nv)), "shift is not a permutation"
     return tuple(perm)  # type: ignore[arg-type]

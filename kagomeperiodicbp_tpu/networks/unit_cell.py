@@ -143,8 +143,10 @@ class UnitCell:
 
     # -- persistence (reference: definition.py:119-144, plain pickle of numpy) --
     def save(self, path: str) -> str:
+        from ..utils.jaxtools import to_numpy
+
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        data = {f: np.asarray(t) for f, t in self.items()}
+        data = {f: to_numpy(t) for f, t in self.items()}
         data["rotated"] = self.rotated
         with open(path, "wb") as fh:
             pickle.dump(data, fh)

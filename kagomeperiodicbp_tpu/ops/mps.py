@@ -139,7 +139,15 @@ def inner(a: MPS, b: MPS) -> Tuple[jnp.ndarray, jnp.ndarray]:
     c = jnp.ones((1, 1), a.sites[0].dtype)
     log = a.logscale + b.logscale
     for i in range(a.n):
-        c = jnp.einsum("xy,xpa,ypb->ab", c, a.sites[i], jnp.conj(b.sites[i]))
+        # explicit 2-operand matmuls (the 3-operand einsum form hits an
+        # unimplemented lowering on the experimental TPU backend for some
+        # small complex shapes)
+        sa, sb = a.sites[i], jnp.conj(b.sites[i])
+        x, p, adim = sa.shape
+        y, _, bdim = sb.shape
+        t = c.T @ sa.reshape(x, p * adim)            # [y, p·a]
+        t = t.reshape(y * p, adim)
+        c = t.T @ sb.reshape(y * p, bdim)            # [a, b]
         nrm = jnp.maximum(jnp.linalg.norm(c), 1e-300)
         c = c / nrm.astype(c.dtype)
         log = log + jnp.log(nrm)

@@ -14,6 +14,13 @@ def enable_compilation_cache(path: str | None = None) -> None:
         return
     import jax
 
+    # The experimental axon TPU backend compiles remotely; its persistent-
+    # cache round trip produces executables that fail at run time with
+    # UNIMPLEMENTED. Never enable the cache when axon is the platform.
+    platforms = str(getattr(jax.config, "jax_platforms", "") or os.environ.get("JAX_PLATFORMS", ""))
+    if "axon" in platforms:
+        return
+
     cache_dir = path or os.environ.get(
         "KPBP_JAX_CACHE", os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
     )
@@ -35,3 +42,57 @@ def setup(platform: str | None = None, x64: bool = False, cache: bool = True) ->
         jax.config.update("jax_enable_x64", True)
     if cache:
         enable_compilation_cache()
+
+
+def to_numpy(x):
+    """Device→host transfer that works around backends unable to transfer
+    complex arrays (the experimental axon TPU backend): complex values move
+    as two real transfers."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+    return np.asarray(x)
+
+
+def to_complex_scalar(x) -> complex:
+    import jax.numpy as jnp
+
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return complex(float(jnp.real(x)), float(jnp.imag(x)))
+    return complex(float(x), 0.0)
+
+
+def resilient_jit(fn, max_retries: int = 4, **jit_kwargs):
+    """jax.jit wrapper that survives the experimental axon backend's flaky
+    remote compiler: the same program occasionally compiles into an
+    executable that fails at run time with UNIMPLEMENTED. On such a failure
+    the wrapper re-jits (forcing a fresh compile) and retries.
+
+    The first call after each (re)compile is synchronised so the async error
+    surfaces here rather than at a later transfer.
+    """
+    import jax
+
+    state = {"jitted": jax.jit(fn, **jit_kwargs), "validated": False}
+
+    def call(*args, **kwargs):
+        attempt = 0
+        while True:
+            try:
+                out = state["jitted"](*args, **kwargs)
+                if not state["validated"]:
+                    jax.block_until_ready(out)
+                    state["validated"] = True
+                return out
+            except Exception as exc:  # noqa: BLE001
+                if "UNIMPLEMENTED" not in str(exc) or attempt >= max_retries:
+                    raise
+                attempt += 1
+                # new function identity → fresh compilation-cache entry
+                fresh = lambda *a, **k: fn(*a, **k)  # noqa: E731
+                state["jitted"] = jax.jit(fresh, **jit_kwargs)
+                state["validated"] = False
+
+    return call

@@ -36,6 +36,9 @@ def main(argv=None):
     p.add_argument("--dtype", default="complex128", choices=["complex64", "complex128", "float32", "float64"])
     p.add_argument("--platform", default=None, help="cpu | tpu (default: as configured)")
     p.add_argument("--out", default="data/unit_cells", help="output folder")
+    p.add_argument("--measure-n", type=int, default=None,
+                   help="block size for measurements (default: N+1, reference convention)")
+    p.add_argument("--measure-chi-factor", type=float, default=2.0)
     args = p.parse_args(argv)
 
     import jax
@@ -91,6 +94,9 @@ def main(argv=None):
     best, cell, tracker = full_ite(
         cell, cfg, N=args.N, D=args.D, d=args.d, chi=chi,
         bp_config=bp_cfg, logger=log, tracker=tracker, dtype=dtype,
+        measurement_N=args.measure_n or args.N + 1,
+        measurement_chi_factor=args.measure_chi_factor,
+        save_best_store=True,
     )
 
     out_path = os.path.join(args.out, f"D={args.D} energy={best}.pkl")
