@@ -51,13 +51,24 @@ class ITEConfig:
     random_edge_order: bool = True
     random_mode_order: bool = True
     symmetric_second_order_trotterization: bool = True
-    num_mode_repetitions_per_segment: int = 1
+    num_mode_repetitions_per_segment: int = 5  # reference default (iterative_process.py:170)
     num_edge_repetitions_per_mode: int = 6
     # after-update
     normalize_tensors_after_update: bool = True
+    # (the reference declares force_hermitian_tensors_after_update=True but
+    # never implements it — containers/imaginary_time_evolution.py:191;
+    # accepted here for config parity, also a no-op)
+    force_hermitian_tensors_after_update: bool = True
+    # keep the lowest-energy state at each delta_t block boundary
+    # (reference: main.py:658 always_use_lowest_energy_state)
+    always_use_lowest_energy_state: bool = False
+    # skip to the next delta_t when this many segments fail to improve
+    # (reference: check_converges + CONVERGENCE_CHECK_LENGTH=3, main.py:455)
+    check_converges: bool = False
+    convergence_check_length: int = 3
     # optimisation
     add_gaussian_noise_fraction: Optional[float] = None
-    randomly_rotate_unit_cell_between_segments: bool = False
+    randomly_rotate_unit_cell_between_segments: bool = True  # reference default
     # bp
     bp_every_edge: bool = True
     start_segment_with_new_bp_message: bool = True
@@ -195,6 +206,7 @@ def full_ite(
     save_best_store: bool = False,
     measurement_N: Optional[int] = None,
     measurement_chi_factor: float = 1.0,
+    plots=None,
 ) -> Tuple[float, UnitCell, ITETracker]:
     """The main ITE driver (reference: main.py:704)."""
     log = logger or logging.getLogger("ite")
@@ -212,11 +224,21 @@ def full_ite(
     messages: Optional[MessageDict] = None
     errors_this_dt = 0
     last_dt = None
+    block_best: Tuple[float, Optional[UnitCell]] = (float("inf"), None)
+    no_improve = 0
+    skip_until_new_dt = False
 
     for step_idx, dt in enumerate(config.time_steps):
         if dt != last_dt:
             errors_this_dt = 0
             last_dt = dt
+            if config.always_use_lowest_energy_state and block_best[1] is not None:
+                cell = block_best[1]
+            block_best = (float("inf"), None)
+            no_improve = 0
+            skip_until_new_dt = False
+        if skip_until_new_dt:
+            continue
         t0 = time.time()
         seg = ITESegmentStats(delta_t=dt)
         try:
@@ -255,7 +277,16 @@ def full_ite(
                     cell_m, messages_m, n_m, chi_m, bp_m.trunc_dim, h
                 )
                 seg.mean_energy = meas.mean_energy
+                if meas.mean_energy < block_best[0]:
+                    block_best = (meas.mean_energy, cell_m)
+                    no_improve = 0
+                else:
+                    no_improve += 1
+                    if config.check_converges and no_improve >= config.convergence_check_length:
+                        skip_until_new_dt = True
                 tracker.log_segment(dt, cell_m, meas, seg)
+                if plots is not None:
+                    plots.update(tracker)
                 if save_best_store:
                     from ..utils.best_store import save_if_best
 

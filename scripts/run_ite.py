@@ -17,6 +17,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _make_plots(args, ham):
+    if not args.live_plots:
+        return None
+    from kagomeperiodicbp_tpu.visualizations import ITEPlots
+
+    return ITEPlots(active=True, out_path=os.path.join(args.out, "ite_progress.png"),
+                    reference_energy=getattr(ham, "reference", None))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-D", type=int, default=2, help="virtual bond dimension")
@@ -39,6 +48,8 @@ def main(argv=None):
     p.add_argument("--measure-n", type=int, default=None,
                    help="block size for measurements (default: N+1, reference convention)")
     p.add_argument("--measure-chi-factor", type=float, default=2.0)
+    p.add_argument("--live-plots", action="store_true",
+                   help="write a convergence dashboard PNG per segment")
     args = p.parse_args(argv)
 
     import jax
@@ -97,6 +108,7 @@ def main(argv=None):
         measurement_N=args.measure_n or args.N + 1,
         measurement_chi_factor=args.measure_chi_factor,
         save_best_store=True,
+        plots=_make_plots(args, ham),
     )
 
     out_path = os.path.join(args.out, f"D={args.D} energy={best}.pkl")
