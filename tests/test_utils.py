@@ -1,0 +1,100 @@
+"""Utility-layer tests: sweep runner, best store, tracker roundtrip,
+operator helpers, decorators."""
+import os
+
+import numpy as np
+import pytest
+
+from kagomeperiodicbp_tpu.parallel.sweep import SweepPoint, grid, run_sweep
+from kagomeperiodicbp_tpu.physics import operators, pauli
+from kagomeperiodicbp_tpu.utils.best_store import load_best, save_if_best
+from kagomeperiodicbp_tpu.utils.csvs import CSVManager
+from kagomeperiodicbp_tpu.utils.decorators import Stats, add_stats, multiple_tries
+
+
+def test_sweep_runner(tmp_path):
+    points = grid(Ds=(2, 3), seeds=(0, 1))
+    assert len(points) == 4
+
+    def worker(pt: SweepPoint):
+        if pt.D == 3 and pt.seed == 1:
+            raise ValueError("boom")
+        return {"val": pt.D * 10 + pt.seed}
+
+    csv = str(tmp_path / "res.csv")
+    results = run_sweep(points, worker, csv_path=csv)
+    rows = CSVManager(csv, []).read()
+    assert len(rows) == 4
+    assert sum(1 for r in rows if r["status"] == "ok") == 3
+    assert any("error" in r["status"] for r in rows)
+
+
+def test_best_store(tmp_path):
+    import jax
+
+    from kagomeperiodicbp_tpu.networks.unit_cell import UnitCell
+
+    folder = str(tmp_path / "best")
+    cell = UnitCell.random(d=2, D=2, key=jax.random.PRNGKey(0))
+    assert save_if_best(cell, -0.30, 2, folder)
+    assert not save_if_best(cell, -0.25, 2, folder)  # worse → not saved
+    assert save_if_best(cell, -0.35, 2, folder)
+    got = load_best(2, folder)
+    assert got is not None and got[1] == -0.35
+
+
+def test_tracker_roundtrip(tmp_path):
+    import jax
+
+    from kagomeperiodicbp_tpu.algo.ite import ITESegmentStats, ITETracker
+    from kagomeperiodicbp_tpu.algo.measurements import MeasurementsOnUnitCell
+    from kagomeperiodicbp_tpu.networks.unit_cell import UnitCell
+
+    path = str(tmp_path / "t.pkl")
+    tr = ITETracker(checkpoint_path=path)
+    cell = UnitCell.random(d=2, D=2, key=jax.random.PRNGKey(1))
+    meas = MeasurementsOnUnitCell(energies={"(A,B)": -0.9})
+    tr.log_segment(0.1, cell, meas, ITESegmentStats())
+    assert os.path.exists(path)
+    import pickle
+
+    with open(path, "rb") as fh:
+        data = pickle.load(fh)
+    assert data["best_energy"] == meas.mean_energy
+    assert data["best_cell"]["A"].shape == (2, 2, 2, 2, 2)
+
+
+def test_operator_helpers():
+    h = np.tensordot(pauli.x, pauli.z, 0)  # [k1,b1,k2,b2]
+    m = operators.op_to_mat(h)
+    assert m.shape == (4, 4)
+    np.testing.assert_allclose(m, np.kron(pauli.x, pauli.z))
+    back = operators.mat_to_op(m, (2, 2))
+    np.testing.assert_allclose(back, h)
+    np.testing.assert_allclose(operators.op_dagger(h), h)  # hermitian
+    assert abs(operators.op_trace(h)) < 1e-12
+    assert abs(operators.op_norm(h) - 1.0) < 1e-12
+
+
+def test_decorators():
+    calls = {"n": 0}
+
+    @multiple_tries(3)
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("try again")
+        return "ok"
+
+    assert flaky() == "ok"
+    assert calls["n"] == 3
+
+    class R:
+        stats = Stats()
+
+    @add_stats()
+    def work():
+        return R()
+
+    out = work()
+    assert out.stats.execution_time > 0
