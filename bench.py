@@ -66,4 +66,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — the driver needs ONE JSON line
+        print(json.dumps({
+            "metric": f"bp_sweeps_per_second_D{D}_N{N}_chi{CHI}",
+            "value": 0.0,
+            "unit": "sweeps/s",
+            "vs_baseline": 0.0,
+            "error": repr(exc)[:200],
+        }))
