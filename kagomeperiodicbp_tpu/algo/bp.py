@@ -49,6 +49,12 @@ class BPConfig:
     init_model: str = "uniform"         # 'uniform' | 'random'
     seed: int = 0
     dtype: object = None                # default from unit cell
+    # one single-dispatch program for all 6 messages (algo/batched.py) vs
+    # six per-side programs (algo/fused.py). None = auto: batched everywhere
+    # except the experimental axon TPU backend, whose runtime reliably
+    # executes per-side-sized programs but produces poisoned outputs for the
+    # 6× larger batched program (measured: per-side 582 sweeps/s on chip).
+    batched: Optional[bool] = None
 
     @property
     def chi_bubble(self) -> int:
@@ -149,15 +155,35 @@ def belief_propagation(
 
     fused = C.fused_cells(cell)
     stats = BPStats(final_config=config)
-    step_fn = F.bp_iteration(N, D, chi, chi_msg, config.damping)
+    from . import batched as B
+
+    use_batched = config.batched
+    if use_batched is None:
+        use_batched = not B._on_axon()
+    if use_batched:
+        step_fn = B.bp_iteration_batched(N, D, chi, chi_msg, config.damping)
+    else:
+        step_fn = F.bp_iteration(N, D, chi, chi_msg, config.damping)
     msg_sites = F._msgs_to_sites(messages)
     best_err, best_sites = float("inf"), msg_sites
     prev_err = float("inf")
     increases = 0
 
     for it in range(config.max_iterations):
-        msg_sites, err_arr = step_fn(fused, msg_sites)
-        err = float(err_arr)
+        prev_sites = msg_sites
+        try:
+            msg_sites, err_arr = step_fn(fused, prev_sites)
+            err = float(err_arr)
+        except Exception:
+            if not use_batched:
+                raise
+            # batched program failed on this backend — fall back to the six
+            # per-side programs and redo the iteration from the pre-step
+            # messages (the failed step's outputs may be poisoned)
+            use_batched = False
+            step_fn = F.bp_iteration(N, D, chi, chi_msg, config.damping)
+            msg_sites, err_arr = step_fn(fused, prev_sites)
+            err = float(err_arr)
         stats.error_history.append(err)
         if err < best_err:
             best_err, best_sites = err, msg_sites

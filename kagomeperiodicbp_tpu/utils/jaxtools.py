@@ -77,6 +77,14 @@ def resilient_jit(fn, max_retries: int = 4, **jit_kwargs):
 
     state = {"jitted": jax.jit(fn, **jit_kwargs), "validated": False}
 
+    def _probe(out):
+        """Actually transfer the smallest output leaf: poisoned executables
+        can pass block_until_ready yet produce buffers that fail any
+        device→host copy (and poison everything computed from them)."""
+        leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "dtype")]
+        if leaves:
+            to_numpy(min(leaves, key=lambda l: l.size))
+
     def call(*args, **kwargs):
         attempt = 0
         while True:
@@ -84,6 +92,7 @@ def resilient_jit(fn, max_retries: int = 4, **jit_kwargs):
                 out = state["jitted"](*args, **kwargs)
                 if not state["validated"]:
                     jax.block_until_ready(out)
+                    _probe(out)
                     state["validated"] = True
                 return out
             except Exception as exc:  # noqa: BLE001

@@ -37,7 +37,10 @@ def main(argv=None):
     p.add_argument("--dt-stop", type=float, default=1e-4)
     p.add_argument("--steps", type=int, default=None, help="total segments (overrides ladder)")
     p.add_argument("--steps-per-dt", type=int, default=20)
-    p.add_argument("--cell", default="random", help="random | product | zero | <path.pkl>")
+    p.add_argument("--cell", default="random",
+                   help="random | product | zero | su | best | <path.pkl> "
+                        "(su = simple-update warm start, reference unit_cell_from='tnsu'; "
+                        "best = current best-store record for this D)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--damping", type=float, default=None)
     p.add_argument("--bp-every-edge", action="store_true")
@@ -80,15 +83,29 @@ def main(argv=None):
     if args.steps is not None:
         steps = steps[: args.steps]
 
+    ham = hamiltonians.BY_NAME[args.hamiltonian]
+
     cell = None
     if args.cell == "product":
         cell = UnitCell.random_product_state(args.d, args.D, jax.random.PRNGKey(args.seed), dtype)
     elif args.cell == "zero":
         cell = UnitCell.zero_product_state(args.d, args.D, dtype)
+    elif args.cell == "su":
+        from kagomeperiodicbp_tpu.algo.simple_update import simple_update
+
+        log.info("simple-update warm start (D=%d)…", args.D)
+        cell, _ = simple_update(ham(), D=args.D, d=args.d, dtype=dtype,
+                                key=jax.random.PRNGKey(args.seed))
+    elif args.cell == "best":
+        from kagomeperiodicbp_tpu.utils.best_store import load_best
+
+        rec = load_best(args.D)
+        if rec is None:
+            raise SystemExit(f"no best-store record for D={args.D}")
+        cell = rec[0].astype(dtype)
+        log.info("warm start from best store: energy=%.10f", rec[1])
     elif args.cell not in ("random",):
         cell = UnitCell.load(args.cell)
-
-    ham = hamiltonians.BY_NAME[args.hamiltonian]
     cfg = ITEConfig(
         hamiltonian=ham,
         time_steps=steps,
