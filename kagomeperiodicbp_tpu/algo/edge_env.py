@@ -217,24 +217,21 @@ def _norm_rescale(x, logs):
     return x / n.astype(x.dtype), logs + jnp.log(n)
 
 
-def edge_environment(
-    cell: UnitCell,
-    messages: Dict[BlockSide, MPS],
-    N: int,
-    chi: int,
-    chi_msg: int,
-    edge: UpdateEdge,
-):
-    """Returns (t1, t2, env, perms):
+def edge_environment_sites(cells, msg_sites, N: int, chi: int, chi_msg: int,
+                           edge: UpdateEdge):
+    """The single traced implementation of the edge environment.
 
-    * t1, t2 — ket tensors of the pair with legs [d, edge, ccw…] (the
-      canonical EdgeTN layout, tensor_network.py:790);
-    * env    — list of 6 tensors [prev, D, D, next] in ccw order (the
-      `open_mps_env` of EdgeTN, tensor_network.py:746);
-    * perms  — (perm1, perm2) applied to the cell tensors' virtual legs;
-      invert to write updated tensors back.
+    * cells — (A, B, C) ket tensors;
+    * msg_sites — dict side-int → tuple of message site arrays.
+
+    Returns (t1, t2, env, (perm1, perm2)) — see `edge_environment`.
+    Used directly by the fused/jitted paths (algo/fused.py,
+    parallel/multichip.py) and wrapped by `edge_environment` for the eager
+    UnitCell/MessageDict API.
     """
-    D = cell.D
+    from ..networks.unit_cell import fused_tensor
+
+    D = cells[0].shape[1]
     block = KagomeBlock.build(N)
     geo = edge_geometry(N, D, chi, chi_msg, edge.direction())
     n1, n2 = edge_pair(block, edge)
@@ -242,20 +239,25 @@ def edge_environment(
     i1 = geo.chain.index(n1)
     assert geo.chain[i1 + 1] == n2, "pair must be chain-adjacent"
 
-    fused = C.fused_cells(cell)
-    top = C.run_plan(geo.top_plan, fused, messages)
-    bot = C.run_plan(geo.bot_plan, fused, messages)
+    fused = tuple(fused_tensor(c) for c in cells)
+
+    def fetch_plan(source):
+        if source[0] == "lat":
+            return fused[source[1] % len(fused)]
+        _, side, k = source
+        return msg_sites[side][k]
+
+    from ..ops.contract import execute_plan
+
+    top = execute_plan(geo.top_plan, fetch_plan)
+    bot = execute_plan(geo.bot_plan, fetch_plan)
     assert isinstance(top, MPS) and isinstance(bot, MPS)
 
     # fetchers for chain tensors
     graph = C._graph_for(N, D, chi_msg, tuple(int(s) for s in BlockSide))
 
     def fetch(v):
-        src = graph.nodes[v].source
-        if src[0] == "lat":
-            return fused[src[1] % 3]
-        _, side, k = src
-        return messages[BlockSide(side)].sites[k]
+        return fetch_plan(graph.nodes[v].source)
 
     def node_perm(v, incoming_leg: Optional[int], outgoing_leg: Optional[int]):
         """Permutation to [top, chain_in, bottom, chain_out] (3-leg nodes:
@@ -269,7 +271,6 @@ def edge_environment(
             order.append(outgoing_leg)
         return tuple(order)
 
-    rd = top.logscale.dtype
     dtype = top.sites[0].dtype
     logs = top.logscale + bot.logscale
 
@@ -322,10 +323,37 @@ def edge_environment(
     ]
 
     # --- pair ket tensors in canonical order ---
-    tensor_of = lambda v: cell[FLAVORS[v % 3]]
+    tensor_of = lambda v: cells[v % len(cells)]
     t1, perm1 = _canonical_ket(tensor_of, block, n1, edge.direction())
     t2, perm2 = _canonical_ket(tensor_of, block, n2, edge.direction().opposite())
     return t1, t2, env, (perm1, perm2)
+
+
+def edge_environment(
+    cell: UnitCell,
+    messages: Dict[BlockSide, MPS],
+    N: int,
+    chi: int,
+    chi_msg: int,
+    edge: UpdateEdge,
+):
+    """Returns (t1, t2, env, perms):
+
+    * t1, t2 — ket tensors of the pair with legs [d, edge, ccw…] (the
+      canonical EdgeTN layout, tensor_network.py:790);
+    * env    — list of 6 tensors [prev, D, D, next] in ccw order (the
+      `open_mps_env` of EdgeTN, tensor_network.py:746);
+    * perms  — (perm1, perm2) applied to the cell tensors' virtual legs;
+      invert to write updated tensors back.
+
+    Thin wrapper over `edge_environment_sites` (the single implementation).
+    Message logscales are irrelevant here: every consumer normalises (the
+    RDM is divided by its trace), so only the site tensors enter.
+    """
+    msg_sites = {int(s): tuple(m.sites) for s, m in messages.items()}
+    return edge_environment_sites(
+        (cell.A, cell.B, cell.C), msg_sites, N, chi, chi_msg, edge
+    )
 
 
 def _flip(site):

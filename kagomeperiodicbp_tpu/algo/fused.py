@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from ..enums import UpdateEdge, UnitCellFlavor
 from ..lattices import BlockSide, KagomeBlock
 from ..networks.graph import message_bond_profile
-from ..networks.unit_cell import fused_tensor
 from ..ops import ite_kernels as K
 from ..ops import mps as mpslib
 from ..ops.contract import execute_plan
@@ -134,79 +133,9 @@ def hermitize_all(N: int, D: int, chi_msg: int):
 # --------------------------- fused edge update -----------------------------
 
 
-def _edge_env_traced(cells, msg_sites: MsgSites, N: int, chi: int, chi_msg: int,
-                     edge: UpdateEdge):
-    """Traced body of edge_environment (cells = (A,B,C) ket tensors)."""
-    D = cells[0].shape[1]
-    block = KagomeBlock.build(N)
-    geo = E.edge_geometry(N, D, chi, chi_msg, edge.direction())
-    n1, n2 = E.edge_pair(block, edge)
-    i1 = geo.chain.index(n1)
-
-    fused = tuple(fused_tensor(c) for c in cells)
-    fetch_plan = _make_fetch(fused, msg_sites)
-    top = execute_plan(geo.top_plan, fetch_plan)
-    bot = execute_plan(geo.bot_plan, fetch_plan)
-
-    graph = C._graph_for(N, D, chi_msg, tuple(int(s) for s in BlockSide))
-
-    def fetch(v):
-        src = graph.nodes[v].source
-        if src[0] == "lat":
-            return fused[src[1] % len(fused)]
-        _, side, k = src
-        return msg_sites[side][k]
-
-    def node_perm(v, incoming, outgoing):
-        tl, bl = geo.top_leg[v], geo.bot_leg[v]
-        order = [tl]
-        if incoming is not None:
-            order.append(incoming)
-        order.append(bl)
-        if outgoing is not None:
-            order.append(outgoing)
-        return tuple(order)
-
-    dtype = top.sites[0].dtype
-    logs = top.logscale + bot.logscale
-
-    L = jnp.ones((1, 1, 1), dtype)
-    for i in range(i1):
-        v = geo.chain[i]
-        perm = node_perm(v, geo.chain_leg_bwd[v], geo.chain_leg_fwd[v])
-        L = E._ladder_step(L, top.sites[geo.top_site_of[v]],
-                           bot.sites[geo.bot_site_of[v]], fetch(v), perm)
-        L, logs = E._norm_rescale(L, logs)
-
-    R = jnp.ones((1, 1, 1), dtype)
-    for i in range(len(geo.chain) - 1, i1 + 1, -1):
-        v = geo.chain[i]
-        perm = node_perm(v, geo.chain_leg_fwd[v], geo.chain_leg_bwd[v])
-        R = E._ladder_step(R, E._flip(top.sites[geo.top_site_of[v]]),
-                           E._flip(bot.sites[geo.bot_site_of[v]]), fetch(v), perm)
-        R, logs = E._norm_rescale(R, logs)
-
-    def split(t):
-        a, p, b = t.shape
-        return t.reshape(a, D, D, b)
-
-    ts1 = top.sites[geo.top_site_of[n1]]
-    ts2 = top.sites[geo.top_site_of[n2]]
-    bs1 = bot.sites[geo.bot_site_of[n1]]
-    bs2 = bot.sites[geo.bot_site_of[n2]]
-    env = [
-        split(jnp.transpose(ts1, (2, 1, 0))),
-        split(L),
-        split(jnp.transpose(bs1, (2, 1, 0))),
-        split(jnp.transpose(bs2, (2, 1, 0))),
-        split(jnp.transpose(R, (2, 1, 0))),
-        split(jnp.transpose(ts2, (2, 1, 0))),
-    ]
-
-    tensor_of = lambda v: cells[v % len(cells)]
-    t1, perm1 = E._canonical_ket(tensor_of, block, n1, edge.direction())
-    t2, perm2 = E._canonical_ket(tensor_of, block, n2, edge.direction().opposite())
-    return t1, t2, env, (perm1, perm2)
+# single implementation lives in edge_env.edge_environment_sites; kept as an
+# alias for the jitted wrappers below and parallel/multichip.py
+_edge_env_traced = E.edge_environment_sites
 
 
 def _rho_health(rho):

@@ -45,7 +45,11 @@ def default_time_steps(start: float = 1e-2, stop: float = 1e-8, per: int = 100) 
 class ITEConfig:
     """(reference: containers/imaginary_time_evolution.py:179 + 157)"""
 
-    hamiltonian: Callable[[], np.ndarray] = None  # type: ignore[assignment]
+    hamiltonian: Callable[..., np.ndarray] = None  # type: ignore[assignment]
+    # time-dependent protocol (reference HamiltonianFuncAndInputs with
+    # arg="delta_t", e.g. run_ite.py:29 decreasing_global_field_func): when
+    # set, the per-segment Hamiltonian is hamiltonian(hamiltonian_field(dt)).
+    hamiltonian_field: Optional[Callable[[Optional[float]], float]] = None
     time_steps: List[float] = field(default_factory=default_time_steps)
     # orders
     random_edge_order: bool = True
@@ -75,6 +79,9 @@ class ITEConfig:
     # error escalation (reference: iterative_process config)
     num_errors_per_delta_t_threshold: int = 2
     num_total_errors_threshold: int = 10
+    # adopt the escalated BP χ for the rest of the run after a struggling BP
+    # (reference: iterative_process.py:167 keep_harder_bp_config_between_segments)
+    keep_harder_bp_config_between_segments: bool = False
     # als
     als_iterations: int = 10
     seed: int = 0
@@ -86,18 +93,29 @@ class ITESegmentStats:
     mean_energy: float = 0.0
     edge_energies: Dict[str, float] = field(default_factory=dict)
     bp_stats: List[BPStats] = field(default_factory=list)
+    modes_order: List[UpdateMode] = field(default_factory=list)
+    global_field: float = 0.0
     duration: float = 0.0
     had_error: bool = False
 
 
 @dataclass
 class ITETracker:
-    """Bounded history + checkpointing
-    (reference: containers/_ite_tracker.py:64)."""
+    """Full per-segment history + checkpointing + revert
+    (reference: containers/_ite_tracker.py:64-162 ITEProgressTracker).
+
+    Keeps, per logged segment: δt, mean energy, the measured unit cell
+    (as host numpy — bounded by `history_limit`, oldest dropped first, like
+    the reference's MAX_MEMORY-bounded deques) and the segment stats. The
+    scalar series (delta_ts/energies) are unbounded — they are cheap and the
+    dashboards read them.
+    """
 
     delta_ts: List[float] = field(default_factory=list)
     energies: List[float] = field(default_factory=list)
     stats: List[ITESegmentStats] = field(default_factory=list)
+    cells: List[dict] = field(default_factory=list)   # host-numpy {A,B,C}, bounded
+    history_limit: int = 25
     best_energy: float = float("inf")
     best_cell: Optional[UnitCell] = None
     error_count: int = 0
@@ -107,17 +125,36 @@ class ITETracker:
         self.delta_ts.append(dt)
         self.energies.append(measurement.mean_energy)
         self.stats.append(seg_stats)
+        self.cells.append({k: _to_numpy(v) for k, v in cell.items()})
+        if len(self.cells) > self.history_limit:
+            del self.cells[0]
         if measurement.mean_energy < self.best_energy:
             self.best_energy = measurement.mean_energy
             self.best_cell = cell
         if self.checkpoint_path:
             self.save(self.checkpoint_path)
 
+    def revert_back(self, n: int = 1) -> UnitCell:
+        """Drop the last `n` logged segments and return the unit cell as of
+        the new head (reference: _ite_tracker.py:130 `revert_back`). Raises
+        if the in-memory cell history doesn't reach that far."""
+        if n >= len(self.cells):
+            raise ValueError(
+                f"cannot revert {n} segments: only {len(self.cells)} cells in history"
+            )
+        del self.delta_ts[-n:], self.energies[-n:], self.stats[-n:], self.cells[-n:]
+        arrs = self.cells[-1]
+        return UnitCell(*(jnp.asarray(arrs[k]) for k in ("A", "B", "C")))
+
     def save(self, path: str):
         data = {
             "delta_ts": self.delta_ts,
             "energies": self.energies,
+            "stats": self.stats,
+            "cells": self.cells,
+            "history_limit": self.history_limit,
             "best_energy": self.best_energy,
+            "error_count": self.error_count,
             "best_cell": {k: _to_numpy(v) for k, v in self.best_cell.items()}
             if self.best_cell is not None
             else None,
@@ -125,9 +162,69 @@ class ITETracker:
         with open(path, "wb") as fh:
             pickle.dump(data, fh)
 
+    @classmethod
+    def load(cls, path: str) -> "ITETracker":
+        """Offline recovery from a checkpoint file — any state the tracker
+        logged can be resumed from (reference:
+        scripts/unpack_ite_tracker.py:9)."""
+        with open(path, "rb") as fh:
+            data = pickle.load(fh)
+        tr = cls(
+            delta_ts=list(data.get("delta_ts", [])),
+            energies=list(data.get("energies", [])),
+            stats=list(data.get("stats", [])),
+            cells=list(data.get("cells", [])),
+            history_limit=int(data.get("history_limit", 25)),
+            best_energy=float(data.get("best_energy", float("inf"))),
+            error_count=int(data.get("error_count", 0)),
+            checkpoint_path=path,
+        )
+        bc = data.get("best_cell")
+        if bc is not None:
+            tr.best_cell = UnitCell(*(jnp.asarray(bc[k]) for k in ("A", "B", "C")))
+        return tr
+
 
 class ITEError(RuntimeError):
     pass
+
+
+def _mode_order(config: ITEConfig, last_mode: Optional[UpdateMode],
+                rng: random.Random) -> List[UpdateMode]:
+    """`num_mode_repetitions_per_segment` update modes, never repeating the
+    same mode twice in a row — including across the segment boundary
+    (reference: main.py:299 `_mode_order_without_repetitions`)."""
+    n = config.num_mode_repetitions_per_segment
+    if not config.random_mode_order:
+        return [UpdateMode(i % 3) for i in range(n)]
+    order: List[UpdateMode] = []
+    prev = last_mode
+    for _ in range(n):
+        choices = [m for m in UpdateMode if m != prev]
+        mode = choices[rng.randrange(len(choices))]
+        order.append(mode)
+        prev = mode
+    return order
+
+
+def _harden_bp_config_if_struggled(
+    bp_config: BPConfig, chi: int, stats: BPStats, log: logging.Logger
+) -> Tuple[BPConfig, int]:
+    """After a BP run that never reached `good_enough`, adopt the escalated
+    message χ the robust wrapper ended at, and widen the contraction χ to
+    stay ahead of it (reference: main.py:200 `_harden_bp_config_if_struggled`)."""
+    import dataclasses as _dc
+
+    if stats.success or stats.final_config is None:
+        return bp_config, chi
+    new_trunc = stats.final_config.trunc_dim
+    if new_trunc > bp_config.trunc_dim:
+        bp_config = _dc.replace(bp_config, trunc_dim=new_trunc)
+        log.debug("bp trunc_dim hardened to %d", new_trunc)
+    if new_trunc >= chi:
+        chi = int(new_trunc * 1.33)
+        log.debug("contraction chi hardened to %d", chi)
+    return bp_config, chi
 
 
 def _edge_order(config: ITEConfig, dt: float, rng: random.Random) -> List[Tuple[UpdateEdge, float]]:
@@ -219,11 +316,13 @@ def full_ite(
     chi = chi or 2 * D * D + 10       # reference: global_config.py:43-48
     bp_config = bp_config or BPConfig(trunc_dim=2 * D * D, dtype=dtype)
     tracker = tracker or ITETracker()
-    h = config.hamiltonian()
+
+    h = config.hamiltonian() if config.hamiltonian_field is None else None
 
     messages: Optional[MessageDict] = None
     errors_this_dt = 0
     last_dt = None
+    last_mode: Optional[UpdateMode] = None
     block_best: Tuple[float, Optional[UnitCell]] = (float("inf"), None)
     no_improve = 0
     skip_until_new_dt = False
@@ -241,6 +340,13 @@ def full_ite(
             continue
         t0 = time.time()
         seg = ITESegmentStats(delta_t=dt)
+        # the annealing field advances once per segment whether or not the
+        # segment succeeds (reference: crnt_force_value decays per call)
+        if config.hamiltonian_field is not None:
+            field_val = config.hamiltonian_field(dt)
+            seg.global_field = field_val
+            h = config.hamiltonian(field_val)
+        cell_backup = cell  # pre-segment state for rollback on ITEError
         try:
             if config.start_segment_with_new_bp_message:
                 messages = None
@@ -249,32 +355,52 @@ def full_ite(
             if config.randomly_rotate_unit_cell_between_segments and rng.random() < 0.5:
                 cell = cell.rotate_ccw()
 
-            for _ in range(config.num_mode_repetitions_per_segment):
-                for edge, dt_edge in _edge_order(config, dt, rng):
+            # per-segment edge order, shared by all modes (reference:
+            # main.py:302 _deal_edge_order computed once per segment)
+            edge_order = _edge_order(config, dt, rng)
+            modes = _mode_order(config, last_mode, rng)
+            seg.modes_order = modes
+            if modes:
+                last_mode = modes[-1]
+            for _mode in modes:
+                for edge, dt_edge in edge_order:
                     if config.bp_every_edge or messages is None:
                         messages, bst = robust_belief_propagation(cell, messages, bp_config, N)
                         seg.bp_stats.append(bst)
+                        bp_hard, chi_hard = _harden_bp_config_if_struggled(
+                            bp_config, chi, bst, log
+                        )
+                        if config.keep_harder_bp_config_between_segments:
+                            bp_config, chi = bp_hard, chi_hard
                     cell, energy, _ = ite_update_edge(
                         cell, messages, N, chi, bp_config.trunc_dim, edge, h, dt_edge, config
                     )
                     seg.edge_energies[str(edge)] = energy
 
             if measure_every_segment:
-                # measurement-time hardening: larger block + wider chi
-                # (reference: change_config_for_measurements_func,
-                # run_ite.py:49-55 -> main.py:133-151)
+                # measurement-time hardening: larger block + wider chi +
+                # tighter BP + one extra retry (reference:
+                # change_config_for_measurements_func, run_ite.py:49-55)
                 import dataclasses as _dc
 
                 n_m = measurement_N or N
                 bp_m = _dc.replace(
                     bp_config,
                     trunc_dim=int(bp_config.trunc_dim * measurement_chi_factor),
+                    msg_diff_terminate=bp_config.msg_diff_terminate / 2,
+                    allowed_retries=bp_config.allowed_retries + 1,
                 )
                 chi_m = int(chi * measurement_chi_factor)
                 cell_m = cell.force_zero_rotation()
                 messages_m, bst = robust_belief_propagation(cell_m, None, bp_m, n_m)
+                # measure with the field OFF (reference: the field func is
+                # called with delta_t=None → 0 at measurement time)
+                h_meas = (
+                    h if config.hamiltonian_field is None
+                    else config.hamiltonian(config.hamiltonian_field(None))
+                )
                 meas = measure_energies_and_observables(
-                    cell_m, messages_m, n_m, chi_m, bp_m.trunc_dim, h
+                    cell_m, messages_m, n_m, chi_m, bp_m.trunc_dim, h_meas
                 )
                 seg.mean_energy = meas.mean_energy
                 if meas.mean_energy < block_best[0]:
@@ -299,7 +425,13 @@ def full_ite(
             seg.had_error = True
             errors_this_dt += 1
             tracker.error_count += 1
-            log.warning("segment error at dt=%.2e: %s", dt, exc)
+            # roll back to the pre-segment state: a partially-updated cell
+            # from a failed segment is worse than re-trying from the last
+            # good one (the reference keeps the pre-segment `unit_cell`
+            # binding when ite_per_segment raises, main.py:676-683)
+            cell = cell_backup
+            messages = None
+            log.warning("segment error at dt=%.2e (rolled back): %s", dt, exc)
             if tracker.error_count >= config.num_total_errors_threshold:
                 raise ITEError("too many ITE errors — aborting") from exc
             if errors_this_dt >= config.num_errors_per_delta_t_threshold:

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..enums import UpdateEdge
 from ..lattices.kagome import NODE_KIND_DIRS
+from ..utils.jaxtools import to_numpy as _to_numpy
 from ..networks.unit_cell import UnitCell
 from ..ops.ite_kernels import gate_from_hamiltonian
 
@@ -132,9 +133,11 @@ def simple_update(
             tensors[f1] = t1n / jnp.linalg.norm(t1n)
             tensors[f2] = t2n / jnp.linalg.norm(t2n)
             lambdas[key2] = new_lam
-        # convergence check per dt block boundary
+        # convergence check per dt block boundary (device→host via to_numpy:
+        # the axon TPU backend raises UNIMPLEMENTED on some direct float()
+        # transfers — see utils/jaxtools.to_numpy)
         spectra = jnp.concatenate([lambdas[k2] for k2 in sorted(lambdas)])
-        if prev_spectra is not None and float(jnp.linalg.norm(spectra - prev_spectra)) < tol:
+        if prev_spectra is not None and float(np.linalg.norm(_to_numpy(spectra - prev_spectra))) < tol:
             prev_spectra = spectra
             continue
         prev_spectra = spectra

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..networks.graph import Source
 from ..planner.compiler import Plan, Step
-from .linalg import qr_stable, svd_trunc
+from .linalg import qr_stable, svd_trunc, svd_trunc_auto
 from .mps import MPS
 
 
@@ -135,7 +135,7 @@ class Frontier:
             st = self.sites[i]
             dl, p, dr = st.shape
             k = min(self.chi, dl, p * dr)
-            u, sv, vh = svd_trunc(st.reshape(dl, p * dr), k)
+            u, sv, vh = svd_trunc_auto(st.reshape(dl, p * dr), k)
             self.sites[i] = vh.reshape(k, p, dr)
             self._certify_right(i)
             carry = u * sv.astype(u.dtype)[None, :]
@@ -241,7 +241,13 @@ def execute_plan(
         else:
             new_sites = _split_blob(blob, fr)
             fr.replace(s, n_in, new_sites)
-            if fr.max_bond_in(s, s + n_out) > plan.chi:
+            if plan.chi_lazy is not None:
+                # two-tier lazy mode (reference D_trunc/D_trunc2): let bonds
+                # grow past chi, truncate the whole frontier only when one
+                # exceeds chi_lazy
+                if fr.max_bond_in(0, len(fr.sites)) > plan.chi_lazy:
+                    fr.truncate_window(0, len(fr.sites))
+            elif fr.max_bond_in(s, s + n_out) > plan.chi:
                 fr.truncate_window(s, s + n_out)
 
     if not fr.sites:

@@ -46,6 +46,54 @@ def svd_trunc(a: jnp.ndarray, k: int):
     return u[..., :, :k], s[..., :k], vh[..., :k, :]
 
 
+# Exact SVD up to this size; above it the randomized projection is both much
+# faster and much lighter in memory. Plays the role of the reference's
+# D-threshold compression switch (containers/contractions.py:28-34 selects
+# 'iter' over 'SVD' for D>10, i.e. matrices ~χ=2D²>200).
+RSVD_MIN_DIM = 256
+RSVD_OVERSAMPLE = 10
+RSVD_POWER_ITERS = 2
+
+
+def rsvd_trunc(a: jnp.ndarray, k: int, oversample: int = RSVD_OVERSAMPLE,
+               power_iters: int = RSVD_POWER_ITERS):
+    """Randomized truncated SVD (Halko-Martinsson-Tropp): range-find with a
+    Gaussian sketch + power iterations, then an exact SVD of the small
+    projected matrix. (reference: quimb rsvd via bmpslib.py:188)
+
+    MXU-friendly: the cost is 2(1+power_iters) matmuls against a [n, k+o]
+    sketch plus a [k+o, n] SVD, vs a full [m, n] SVD. Deterministic: the
+    sketch key is fixed (folded with the shape), so results are reproducible
+    run-to-run.
+    """
+    m, n = a.shape
+    ell = min(k + oversample, m, n)
+    key = jax.random.fold_in(jax.random.PRNGKey(7), m * 1000003 + n)
+    omega = jax.random.normal(key, (n, ell), dtype=a.real.dtype)
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        omega = omega.astype(a.dtype)
+    y = a @ omega                                  # [m, ell]
+    q, _ = jnp.linalg.qr(y, mode="reduced")
+    for _ in range(power_iters):
+        z = a.conj().T @ q                         # [n, ell]
+        z, _ = jnp.linalg.qr(z, mode="reduced")
+        y = a @ z
+        q, _ = jnp.linalg.qr(y, mode="reduced")
+    b = q.conj().T @ a                             # [ell, n]
+    ub, s, vh = jnp.linalg.svd(b, full_matrices=False)
+    u = q @ ub
+    return u[:, :k], s[:k], vh[:k, :]
+
+
+def svd_trunc_auto(a: jnp.ndarray, k: int):
+    """svd_trunc below RSVD_MIN_DIM (exact, keeps the 1e-10 accuracy bar of
+    the small-D tests), rsvd_trunc above (the large-χ hot path)."""
+    m, n = a.shape
+    if min(m, n) > max(RSVD_MIN_DIM, 4 * k):
+        return rsvd_trunc(a, k)
+    return svd_trunc(a, k)
+
+
 def robust_solve(n_mat: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve N x = b with Tikhonov fallback when N is near-singular.
 

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .linalg import qr_stable, svd_trunc
+from .linalg import qr_stable, svd_trunc, svd_trunc_auto
 
 
 @jax.tree_util.register_pytree_node_class
@@ -116,7 +116,7 @@ def compress(mps: MPS, chi: int) -> MPS:
             s = jnp.einsum("apb,bc->apc", s, carry)
         dl, p, dr = s.shape
         k = min(chi, dl, p * dr)
-        u, sv, vh = svd_trunc(s.reshape(dl, p * dr), k)
+        u, sv, vh = svd_trunc_auto(s.reshape(dl, p * dr), k)
         sites[i] = vh.reshape(k, p, dr)
         carry = u * sv.astype(u.dtype)[None, :]
     s0 = sites[0]
@@ -125,6 +125,90 @@ def compress(mps: MPS, chi: int) -> MPS:
     nrm = jnp.maximum(jnp.linalg.norm(s0), 1e-300)
     sites[0] = s0 / nrm.astype(s0.dtype)
     return MPS(tuple(sites), log + jnp.log(nrm))
+
+
+def compress_iter(mps: MPS, chi: int, sweeps: int = 2) -> MPS:
+    """SVD-free iterative compression — the reference's ``reduceDiter``
+    (/root/reference/src/libs/bmpslib.py:989) re-designed for TPU.
+
+    DMRG-like alternating sweeps: the guess MPS (bonds statically clipped to
+    ≤ chi) is optimised against the original by projecting each site onto the
+    current left/right isometry bases — two matmul ladders plus thin QRs, no
+    SVD anywhere. All shapes are static, so the whole routine traces into one
+    XLA program; the matmuls against the [D_orig, ≤chi] environments are the
+    dominant cost and map straight onto the MXU.
+
+    Output is right-canonical with unit norm (same contract as `compress`).
+    """
+    n = mps.n
+    B = list(mps.sites)
+    if n == 1 or max(s.shape[2] for s in B[:-1]) <= chi:
+        return compress(mps, chi)  # nothing to truncate: cheap exact path
+
+    log = mps.logscale
+    tb = [min(B[i].shape[2], chi) for i in range(n - 1)]  # static target bonds
+
+    # initial guess: slice the high indices (reference Step II)
+    A: List[jnp.ndarray] = []
+    for i, s in enumerate(B):
+        dl = 1 if i == 0 else tb[i - 1]
+        dr = 1 if i == n - 1 else tb[i]
+        A.append(s[:dl, :, :dr])
+
+    def upd_left(cl, b, q):
+        # CL'[a2, g2] = Σ CL[a,g] B[a,p,a2] conj(Q[g,p,g2])
+        x = jnp.tensordot(cl, b, axes=([0], [0]))          # [g, p, a2]
+        return jnp.tensordot(x, jnp.conj(q), axes=([0, 1], [0, 1]))  # [a2, g2]
+
+    def upd_right(cr, b, q):
+        # CR'[a, g] = Σ B[a,p,a2] CR[a2,g2] conj(Q[g,p,g2])
+        x = jnp.tensordot(b, cr, axes=([2], [0]))          # [a, p, g2]
+        return jnp.tensordot(x, jnp.conj(q), axes=([1, 2], [1, 2]))  # [a, g]
+
+    dt = B[0].dtype
+
+    def right_canon(site):
+        dl, p, dr = site.shape
+        q, r = qr_stable(site.reshape(dl, p * dr).T)  # site = rᵀ·qᵀ
+        return q.T.reshape(q.shape[1], p, dr), r.T
+
+    # right-canonicalise the guess, building the right envs (reference Step II)
+    R_env: List[jnp.ndarray] = [None] * (n + 1)  # type: ignore[list-item]
+    R_env[n] = jnp.eye(B[-1].shape[2], dtype=dt)
+    for i in range(n - 1, 0, -1):
+        q, r = right_canon(A[i])
+        A[i] = q
+        A[i - 1] = jnp.tensordot(A[i - 1], r, axes=([2], [0]))
+        R_env[i] = upd_right(R_env[i + 1], B[i], A[i])
+
+    for _ in range(sweeps):
+        # L → R
+        cl = jnp.eye(B[0].shape[0], dtype=dt)
+        L_env: List[jnp.ndarray] = [None] * n  # type: ignore[list-item]
+        for i in range(n - 1):
+            x = jnp.tensordot(B[i], R_env[i + 1], axes=([2], [0]))  # [a,p,g2]
+            x = jnp.tensordot(cl, x, axes=([0], [0]))               # [g,p,g2]
+            dl, p, dr = x.shape
+            q, r = qr_stable(x.reshape(dl * p, dr))
+            A[i] = q.reshape(dl, p, q.shape[1])
+            A[i + 1] = jnp.tensordot(r, A[i + 1], axes=([1], [0]))
+            cl = upd_left(cl, B[i], A[i])
+            L_env[i] = cl
+        # R → L
+        cr = jnp.eye(B[-1].shape[2], dtype=dt)
+        for i in range(n - 1, 0, -1):
+            x = jnp.tensordot(B[i], cr, axes=([2], [0]))            # [a,p,g2]
+            x = jnp.tensordot(L_env[i - 1], x, axes=([0], [0]))     # [g,p,g2]
+            q, r = right_canon(x)
+            A[i] = q
+            A[i - 1] = jnp.tensordot(A[i - 1], r, axes=([2], [0]))
+            cr = upd_right(cr, B[i], A[i])
+            R_env[i] = cr
+
+    s0 = A[0]
+    nrm = jnp.maximum(jnp.linalg.norm(s0), 1e-300)
+    A[0] = s0 / nrm.astype(s0.dtype)
+    return MPS(tuple(A), log + jnp.log(nrm))
 
 
 def inner(a: MPS, b: MPS) -> Tuple[jnp.ndarray, jnp.ndarray]:

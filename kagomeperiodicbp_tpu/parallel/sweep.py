@@ -3,22 +3,22 @@ HTCondor job sender (/root/reference/scripts/condor/main_sender.py:57,
 worker.py:38).
 
 Instead of cluster jobs, sweep points run either sequentially in-process
-(sharing the jit cache — usually fastest on one chip) or as local
-subprocesses (the reference's `_local_test` mode, main_sender.py:144), with
-results appended to a CSV. Multi-chip: shard points over jax devices via
-the `devices` argument (each point pinned with jax.default_device).
+(sharing the jit cache — usually fastest on one chip) or **concurrently in
+worker processes** (the reference's `_local_test` mode spawns real local
+jobs, main_sender.py:144-156): `n_workers > 1` fans the points out over a
+spawn-context process pool, each child pinned to its own platform (CPU by
+default — TPU chips don't multiplex across processes), with results
+appended to a CSV by the parent.
 """
 from __future__ import annotations
 
 import itertools
 import json
 import os
-import subprocess
-import sys
 import time
 import traceback
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 from ..utils.csvs import CSVManager
 
@@ -48,46 +48,105 @@ def grid(Ds=(2,), Ns=(2,), seeds=(0,), chi_factors=(1.0,), noises=(None,), metho
     ]
 
 
+def _child_init(platform: Optional[str]) -> None:
+    """Process-pool initializer: pin the child's JAX platform before the
+    backend initializes (sitecustomize pins JAX_PLATFORMS pre-import, so the
+    env var alone is not enough — set the config too)."""
+    if platform:
+        os.environ["JAX_PLATFORMS"] = platform
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def _guarded(worker: Callable[[SweepPoint], Dict[str, Any]], pt: SweepPoint) -> Dict[str, Any]:
+    try:
+        return {"status": "ok", "out": worker(pt)}
+    except Exception as exc:  # noqa: BLE001 — sweep must survive bad points
+        return {
+            "status": f"error: {type(exc).__name__}",
+            "out": {"error": str(exc)},
+            "traceback": traceback.format_exc(limit=2),
+        }
+
+
 def run_sweep(
     points: Sequence[SweepPoint],
     worker: Callable[[SweepPoint], Dict[str, Any]],
     csv_path: str = "data/sweeps/results.csv",
     devices: Optional[Sequence] = None,
+    n_workers: int = 1,
+    child_platform: Optional[str] = "cpu",
 ) -> List[Dict[str, Any]]:
     """Run `worker` on every point, recording results + timing to CSV.
     Failures are recorded, not fatal (the condor workers' CSV-row semantics,
-    worker.py:156)."""
+    worker.py:156).
+
+    * ``n_workers == 1``: sequential in-process (shares the jit cache; pass
+      ``devices`` to round-robin points over local jax devices).
+    * ``n_workers > 1``: a spawn-context process pool — real concurrency.
+      ``worker`` must be a module-level (picklable) callable;
+      ``child_platform`` pins each child's JAX platform (default "cpu").
+    """
     columns = ["D", "N", "chi_factor", "seed", "method", "noise", "exec_time", "status", "result"]
     csvm = CSVManager(csv_path, columns)
-    results = []
+    results: List[Dict[str, Any]] = []
+
+    if n_workers > 1:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        t_start = [0.0] * len(points)
+        with cf.ProcessPoolExecutor(
+            max_workers=n_workers, mp_context=ctx,
+            initializer=_child_init, initargs=(child_platform,),
+        ) as pool:
+            futures = {}
+            for i, pt in enumerate(points):
+                t_start[i] = time.time()
+                futures[pool.submit(_guarded, worker, pt)] = i
+            ordered: List[Optional[Dict[str, Any]]] = [None] * len(points)
+            times = [0.0] * len(points)
+            for fut in cf.as_completed(futures):
+                i = futures[fut]
+                times[i] = time.time() - t_start[i]
+                try:
+                    ordered[i] = fut.result()
+                except Exception as exc:  # noqa: BLE001 — child died hard
+                    ordered[i] = {"status": f"error: {type(exc).__name__}",
+                                  "out": {"error": str(exc)}}
+        for i, pt in enumerate(points):
+            res = ordered[i] or {"status": "error: lost", "out": {}}
+            row = pt.as_dict()
+            row["status"] = res["status"]
+            row["result"] = json.dumps(res["out"], default=str)
+            row["exec_time"] = round(times[i], 3)
+            csvm.append(row)
+            results.append(res["out"])
+        return results
+
     import jax
 
     for i, pt in enumerate(points):
         t0 = time.time()
         row = pt.as_dict()
-        try:
-            if devices:
-                with jax.default_device(devices[i % len(devices)]):
-                    out = worker(pt)
-            else:
-                out = worker(pt)
-            row["status"] = "ok"
-            row["result"] = json.dumps(out, default=str)
-            results.append(out)
-        except Exception as exc:  # noqa: BLE001 — sweep must survive bad points
-            row["status"] = f"error: {type(exc).__name__}"
-            row["result"] = traceback.format_exc(limit=2)
-            results.append({"error": str(exc)})
+        if devices:
+            with jax.default_device(devices[i % len(devices)]):
+                res = _guarded(worker, pt)
+        else:
+            res = _guarded(worker, pt)
+        row["status"] = res["status"]
+        row["result"] = json.dumps(res["out"], default=str)
         row["exec_time"] = round(time.time() - t0, 3)
         csvm.append(row)
+        results.append(res["out"])
     return results
 
 
 def ite_worker(pt: SweepPoint, steps: Optional[List[float]] = None) -> Dict[str, Any]:
     """Default 'ite' sweep job: run full_ite at the point's parameters
     (reference: condor/send_ite.py)."""
-    import jax.numpy as jnp
-
     from ..algo.bp import BPConfig
     from ..algo.ite import ITEConfig, default_time_steps, full_ite
     from ..physics import hamiltonians

@@ -36,11 +36,43 @@ def heisenberg_afm_with_field(b: float = 0.0, direction: str = "z") -> np.ndarra
     return h
 
 
+heisenberg_afm_with_field.reference = heisenberg_afm.reference  # field→0 limit
+
+
 def ising_with_transverse_field(b: float = 0.0) -> np.ndarray:
     """H = −ΣZZ − B·ΣX (per-edge X weight 1/4; reference: hamiltonians.py:71)."""
     h = -pauli.two_site(pauli.z, pauli.z)
     h = h - (b / 4.0) * (pauli.two_site(pauli.x, pauli.id2) + pauli.two_site(pauli.id2, pauli.x))
     return h
+
+
+class DecreasingGlobalField:
+    """The reference's AFM-T annealing protocol
+    (/root/reference/scripts/run_ite.py:29-41 `decreasing_global_field_func`):
+    a uniform field that decays ×0.93 per ITE segment (×0.90 once
+    δt < 1e-5), starting at 1e-2 and clamped to 0 below 1e-16. The field
+    breaks the degeneracy between competing basins early on and vanishes by
+    the time energies are measured at small δt — this is how the reference
+    reaches its best-store basins from random starts.
+
+    Stateful by design: each call advances the decay, mirroring the
+    reference's module-global `crnt_force_value`.
+    """
+
+    def __init__(self, start: float = 1e-2):
+        self.value = start
+
+    def __call__(self, delta_t: float | None) -> float:
+        if delta_t is None:
+            return 0.0
+        self.value *= 0.93 if delta_t > 1e-5 else 0.90
+        if self.value < 1e-16:
+            self.value = 0.0
+        return self.value
+
+
+def constant_global_field(b: float):
+    return lambda delta_t: b
 
 
 BY_NAME = {

@@ -56,10 +56,17 @@ class Plan:
     chi: int
     # open-edge descriptor (nid, leg) of every final frontier site:
     final_sites: List[Tuple[int, int]]
-    final_dims: List[Tuple[int, int, int]]  # (Dl, p, Dr) per final site
+    # physical dimension of each final frontier site (bond dims are runtime
+    # values set by χ; only p is static):
+    final_dims: List[int]
     # (target_nid, target_leg) each final site connects to, or None if the
     # underlying graph leg is open:
     final_targets: List[Optional[Tuple[int, int]]] = None  # type: ignore[assignment]
+    # two-tier lazy truncation (reference D_trunc/D_trunc2,
+    # bubblecon.py:2995-3011): when set, per-swallow truncation is skipped
+    # until some frontier bond exceeds chi_lazy, then the whole frontier is
+    # truncated to chi. None = truncate after every swallow (default).
+    chi_lazy: Optional[int] = None
 
     @property
     def n_final(self) -> int:
@@ -204,5 +211,5 @@ def compile_plan(
     final_targets = [s["to"] for s in frontier]
     return Plan(
         steps=steps, chi=chi, final_sites=final_sites,
-        final_dims=[], final_targets=final_targets,
+        final_dims=[s["dim"] for s in frontier], final_targets=final_targets,
     )

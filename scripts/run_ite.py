@@ -53,6 +53,15 @@ def main(argv=None):
     p.add_argument("--measure-chi-factor", type=float, default=2.0)
     p.add_argument("--live-plots", action="store_true",
                    help="write a convergence dashboard PNG per segment")
+    p.add_argument("--field-start", type=float, default=1e-2,
+                   help="AFM-T initial annealing field (reference: 1e-2)")
+    p.add_argument("--fixed-edge-order", action="store_true",
+                   help="deterministic edge order (reference production runs)")
+    p.add_argument("--use-lowest-energy-state", action="store_true",
+                   help="revert to the block-best cell at each delta_t "
+                        "boundary (reference: always_use_lowest_energy_state)")
+    p.add_argument("--mode-reps", type=int, default=None,
+                   help="num_mode_repetitions_per_segment (default 5)")
     args = p.parse_args(argv)
 
     import jax
@@ -84,6 +93,12 @@ def main(argv=None):
         steps = steps[: args.steps]
 
     ham = hamiltonians.BY_NAME[args.hamiltonian]
+    # AFM-T = AFM + a decaying symmetry-breaking field (the reference's
+    # annealing protocol that reaches the best-store basins from random,
+    # run_ite.py:29-41): wire the per-segment field schedule in.
+    ham_field = None
+    if args.hamiltonian == "AFM-T":
+        ham_field = hamiltonians.DecreasingGlobalField(args.field_start)
 
     cell = None
     if args.cell == "product":
@@ -106,22 +121,33 @@ def main(argv=None):
         log.info("warm start from best store: energy=%.10f", rec[1])
     elif args.cell not in ("random",):
         cell = UnitCell.load(args.cell)
-    cfg = ITEConfig(
+    # the central config tree (reference: Config.derive_from_dimensions,
+    # global_config.py:28) — dimension-derived defaults, then CLI overrides
+    from kagomeperiodicbp_tpu.config import Config
+
+    config = Config.derive_from_dimensions(args.D, N=args.N, d=args.d)
+    config.dtype = dtype
+    config.contraction.trunc_dim_factor = args.chi_factor
+    config.ite = ITEConfig(
         hamiltonian=ham,
+        hamiltonian_field=ham_field,
         time_steps=steps,
         bp_every_edge=args.bp_every_edge,
         add_gaussian_noise_fraction=args.noise,
+        random_edge_order=not args.fixed_edge_order,
+        always_use_lowest_energy_state=args.use_lowest_energy_state,
         seed=args.seed,
     )
-    bp_cfg = BPConfig(trunc_dim=2 * args.D * args.D, damping=args.damping, dtype=dtype)
+    if args.mode_reps is not None:
+        config.ite.num_mode_repetitions_per_segment = args.mode_reps
+    config.bp = BPConfig(trunc_dim=2 * args.D * args.D, damping=args.damping, dtype=dtype)
 
     os.makedirs(args.out, exist_ok=True)
     tracker = ITETracker(checkpoint_path=os.path.join(args.out, f"tracker_D{args.D}_N{args.N}.pkl"))
 
-    chi = int(2 * args.D**2 * args.chi_factor) + 10
     best, cell, tracker = full_ite(
-        cell, cfg, N=args.N, D=args.D, d=args.d, chi=chi,
-        bp_config=bp_cfg, logger=log, tracker=tracker, dtype=dtype,
+        cell, config.ite, N=args.N, D=args.D, d=args.d, chi=config.chi,
+        bp_config=config.bp, logger=log, tracker=tracker, dtype=dtype,
         measurement_N=args.measure_n or args.N + 1,
         measurement_chi_factor=args.measure_chi_factor,
         save_best_store=True,

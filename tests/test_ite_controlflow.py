@@ -1,0 +1,158 @@
+"""ITE control-flow parity: mode ordering, BP hardening, segment rollback,
+tracker history/revert/offline-load, and the AFM-T annealing field protocol
+(reference: main.py:200,299,676; _ite_tracker.py:64-162; run_ite.py:29-41)."""
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kagomeperiodicbp_tpu.algo.bp import BPConfig, BPStats
+from kagomeperiodicbp_tpu.algo import ite as I
+from kagomeperiodicbp_tpu.enums import UpdateMode
+from kagomeperiodicbp_tpu.networks.unit_cell import UnitCell
+from kagomeperiodicbp_tpu.physics import hamiltonians
+
+
+def test_mode_order_no_immediate_repeats():
+    cfg = I.ITEConfig(num_mode_repetitions_per_segment=50)
+    rng = random.Random(0)
+    last = None
+    for _ in range(10):
+        order = I._mode_order(cfg, last, rng)
+        assert len(order) == 50
+        seq = ([last] if last is not None else []) + order
+        assert all(a != b for a, b in zip(seq, seq[1:]))
+        last = order[-1]
+
+
+def test_mode_order_deterministic_when_not_random():
+    cfg = I.ITEConfig(num_mode_repetitions_per_segment=6, random_mode_order=False)
+    order = I._mode_order(cfg, None, random.Random(0))
+    assert order == [UpdateMode(i % 3) for i in range(6)]
+
+
+def test_harden_bp_config_if_struggled():
+    import logging
+
+    log = logging.getLogger("t")
+    base = BPConfig(trunc_dim=8)
+    # success → unchanged
+    ok = BPStats(success=True, final_config=BPConfig(trunc_dim=50))
+    cfg, chi = I._harden_bp_config_if_struggled(base, 18, ok, log)
+    assert cfg.trunc_dim == 8 and chi == 18
+    # failure with escalated config → adopt trunc_dim; chi widens when passed
+    bad = BPStats(success=False, final_config=BPConfig(trunc_dim=19))
+    cfg, chi = I._harden_bp_config_if_struggled(base, 18, bad, log)
+    assert cfg.trunc_dim == 19
+    assert chi == int(19 * 1.33)
+    # failure below current chi → trunc_dim adopted, chi kept
+    mild = BPStats(success=False, final_config=BPConfig(trunc_dim=12))
+    cfg, chi = I._harden_bp_config_if_struggled(base, 18, mild, log)
+    assert cfg.trunc_dim == 12 and chi == 18
+
+
+def _tiny_cell(seed=0, D=2):
+    return UnitCell.random(D=D, d=2, key=jax.random.PRNGKey(seed))
+
+
+def test_tracker_history_revert_and_load(tmp_path):
+    path = str(tmp_path / "tracker.pkl")
+    tr = I.ITETracker(checkpoint_path=path, history_limit=3)
+
+    class FakeMeas:
+        def __init__(self, e):
+            self.mean_energy = e
+
+    cells = [_tiny_cell(s) for s in range(5)]
+    for s, c in enumerate(cells):
+        tr.log_segment(1e-2, c, FakeMeas(-0.1 * s), I.ITESegmentStats(delta_t=1e-2))
+
+    assert len(tr.energies) == 5
+    assert len(tr.cells) == 3  # bounded by history_limit
+    assert tr.best_energy == pytest.approx(-0.4)
+
+    # revert drops the last segment and returns the cell as of the new head
+    cell = tr.revert_back(1)
+    assert len(tr.energies) == 4
+    np.testing.assert_allclose(
+        np.asarray(jnp.real(cell.A)), np.real(tr.cells[-1]["A"]), atol=1e-12
+    )
+
+    # offline recovery from the checkpoint written at the last log_segment
+    tr2 = I.ITETracker.load(path)
+    assert tr2.best_energy == pytest.approx(-0.4)
+    assert tr2.best_cell is not None
+    assert len(tr2.energies) == 5  # checkpoint predates the revert
+
+
+def test_revert_back_beyond_history_raises():
+    tr = I.ITETracker(history_limit=2)
+
+    class FakeMeas:
+        mean_energy = -1.0
+
+    for s in range(3):
+        tr.log_segment(1e-2, _tiny_cell(s), FakeMeas(), I.ITESegmentStats())
+    with pytest.raises(ValueError):
+        tr.revert_back(2)  # only 2 cells retained; need 3 to revert 2
+
+
+def test_decreasing_global_field_protocol():
+    f = hamiltonians.DecreasingGlobalField()
+    # measurement query does not advance the decay and reads 0
+    assert f(None) == 0.0
+    v1 = f(1e-3)
+    assert v1 == pytest.approx(1e-2 * 0.93)
+    v2 = f(1e-3)
+    assert v2 == pytest.approx(v1 * 0.93)
+    # faster decay below 1e-5
+    v3 = f(1e-6)
+    assert v3 == pytest.approx(v2 * 0.90)
+    # clamps to exactly zero eventually
+    for _ in range(500):
+        f(1e-6)
+    assert f(1e-6) == 0.0
+    assert f(None) == 0.0
+
+
+def test_field_hamiltonian_matches_bare_at_zero():
+    h0 = hamiltonians.heisenberg_afm()
+    hf = hamiltonians.heisenberg_afm_with_field(0.0)
+    np.testing.assert_allclose(h0, hf)
+    hb = hamiltonians.heisenberg_afm_with_field(0.3)
+    assert np.abs(hb - h0).max() > 1e-3
+
+
+def test_full_ite_rolls_back_on_segment_error(monkeypatch):
+    """A segment whose edge update raises ITEError must leave the cell at the
+    pre-segment state (reference main.py:676-683 semantics)."""
+    calls = {"n": 0}
+
+    def exploding_update(cell, messages, N, chi, chi_msg, edge, h, dt, config):
+        calls["n"] += 1
+        raise I.ITEError("boom")
+
+    monkeypatch.setattr(I, "ite_update_edge", exploding_update)
+
+    cell0 = _tiny_cell(0)
+    cfg = I.ITEConfig(
+        hamiltonian=hamiltonians.heisenberg_afm,
+        time_steps=[1e-2],
+        num_mode_repetitions_per_segment=1,
+        num_edge_repetitions_per_mode=1,
+        add_gaussian_noise_fraction=0.5,  # would visibly change the cell
+        randomly_rotate_unit_cell_between_segments=False,
+        bp_every_edge=False,
+        num_total_errors_threshold=10,
+    )
+    best, cell_out, tracker = I.full_ite(
+        cell0, cfg, N=2, D=2, chi=12, bp_config=BPConfig(trunc_dim=8),
+        measure_every_segment=False,
+    )
+    assert calls["n"] == 1
+    assert tracker.error_count == 1
+    # rolled back: noise was applied inside the failed segment, but the
+    # surviving cell is bit-identical to the input
+    np.testing.assert_array_equal(np.asarray(cell_out.A), np.asarray(cell0.A))
