@@ -65,10 +65,25 @@ def main():
     }))
 
 
+class _BenchTimeout(Exception):
+    pass
+
+
 if __name__ == "__main__":
+    # Watchdog: the axon remote compiler occasionally hangs (not just fails);
+    # a hung bench would leave the driver with no JSON line at all. SIGALRM
+    # converts the hang into the error-JSON fallback.
+    import signal
+
+    def _alarm(signum, frame):
+        raise _BenchTimeout("watchdog: compile/run exceeded budget")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(os.environ.get("KPBP_BENCH_TIMEOUT", "480")))
     try:
         main()
-    except Exception as exc:  # noqa: BLE001 — the driver needs ONE JSON line
+        signal.alarm(0)
+    except BaseException as exc:  # noqa: BLE001 — the driver needs ONE JSON line
         print(json.dumps({
             "metric": f"bp_sweeps_per_second_D{D}_N{N}_chi{CHI}",
             "value": 0.0,

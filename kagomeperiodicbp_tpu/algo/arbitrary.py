@@ -90,10 +90,11 @@ class ArbitraryKagomeTN:
             new[perm[v]] = t
         return ArbitraryKagomeTN(new, self.N)  # type: ignore[arg-type]
 
-    def as_cell_view(self) -> UnitCell:
+    def as_cell_view(self) -> "_PerSiteCellView":
         """A pseudo unit cell whose 'tensors' are the full per-site list —
-        works because the fetchers index mod len(fused)."""
-        raise NotImplementedError("use measure() which binds per-site tensors")
+        duck-types UnitCell for every driver whose fetchers index
+        ``fused[v % len(fused)]`` (BP, measurements, plans)."""
+        return _PerSiteCellView(self.tensors)
 
     def measure(
         self,
@@ -114,7 +115,7 @@ class ArbitraryKagomeTN:
 
         results = []
         for tn in tns:
-            holder = _PerSiteCellView(tn.tensors)
+            holder = tn.as_cell_view()
             msgs, stats = robust_belief_propagation(holder, None, bp_config, self.N)
             meas = measure_energies_and_observables(
                 holder, msgs, self.N, chi, bp_config.trunc_dim, h

@@ -138,6 +138,10 @@ def initial_messages(
             m = mpslib.uniform_message(D, n, dtype)
         elif model == "random":
             m = mpslib.random_message(D, n, k, dtype)
+        elif model == "uniform-classic":
+            m = mpslib.classical_message(D, n, None, dtype)
+        elif model == "random-classic":
+            m = mpslib.classical_message(D, n, k, dtype)
         else:
             raise ValueError(f"unknown message model {model!r}")
         msgs[side] = mpslib.pad_bonds(m, profile)

@@ -72,22 +72,26 @@ def _one_outgoing(fused, msg_sites: MsgSites, N, D, chi, chi_msg, toward: int):
 
 @functools.lru_cache(maxsize=None)
 def _one_side_update(N: int, D: int, chi: int, chi_msg: int,
-                     damping: Optional[float], toward: int):
-    """jitted (fused, msg_sites) → (wrapped_sites, distance) for one side.
+                     damped: bool, toward: int):
+    """jitted (fused, msg_sites[, damping]) → (wrapped_sites, distance) for
+    one side. Damping is *data* (a traced scalar), so its strength can change
+    mid-run without recompiling; only damped-vs-undamped selects between two
+    program variants (the undamped one skips a compress sweep entirely).
 
     Kept per-side (rather than one 6-side program) deliberately: the
     experimental axon compiler miscompiles very large programs into
     executables that fail with UNIMPLEMENTED at run time; programs of this
     size are verified good."""
 
-    def impl(fused, msg_sites: MsgSites):
+    def impl(fused, msg_sites: MsgSites, damping=None):
         out = _one_outgoing(fused, msg_sites, N, D, chi, chi_msg, toward)
         wrapped = out.reverse()
         tgt = int(BlockSide(toward).opposite())
         old = MPS(tuple(msg_sites[tgt]), jnp.zeros_like(wrapped.logscale))
         dist = jnp.real(mpslib.distance(old, wrapped))
-        if damping:
-            mixed = mpslib.add(wrapped, old, 1.0 - damping, damping)
+        if damped:
+            d = jnp.asarray(damping, wrapped.logscale.dtype)
+            mixed = mpslib.add(wrapped, old, 1.0 - d, d)
             mixed = mpslib.compress(mixed, chi_msg)
             mixed = mpslib.pad_bonds(mixed, message_bond_profile(N, D, chi_msg))
             wrapped = MPS(mixed.sites, jnp.zeros_like(mixed.logscale))
@@ -97,15 +101,21 @@ def _one_side_update(N: int, D: int, chi: int, chi_msg: int,
 
 
 def bp_iteration(N: int, D: int, chi: int, chi_msg: int, damping: Optional[float]):
-    """(fused, msg_sites) → (new_msg_sites, mean_distance): one synchronous
-    BP sweep, dispatched as 6 per-side jitted programs."""
-    fns = {int(s): _one_side_update(N, D, chi, chi_msg, damping, int(s)) for s in BlockSide}
+    """(fused, msg_sites[, damping]) → (new_msg_sites, mean_distance): one
+    synchronous BP sweep, dispatched as 6 per-side jitted programs. The
+    damping strength may be overridden per call without recompiling."""
+    damped = bool(damping)
+    fns = {int(s): _one_side_update(N, D, chi, chi_msg, damped, int(s)) for s in BlockSide}
 
-    def run(fused, msg_sites: MsgSites):
+    def run(fused, msg_sites: MsgSites, damping_value: Optional[float] = None):
+        d = damping_value if damping_value is not None else (damping or 0.0)
         new: MsgSites = {}
         dists = []
         for side in BlockSide:
-            wrapped, dist = fns[int(side)](fused, msg_sites)
+            if damped:
+                wrapped, dist = fns[int(side)](fused, msg_sites, d)
+            else:
+                wrapped, dist = fns[int(side)](fused, msg_sites)
             new[int(side.opposite())] = wrapped
             dists.append(dist)
         err = jnp.mean(jnp.stack(dists))

@@ -304,8 +304,14 @@ def full_ite(
     measurement_N: Optional[int] = None,
     measurement_chi_factor: float = 1.0,
     plots=None,
+    progress=None,
 ) -> Tuple[float, UnitCell, ITETracker]:
-    """The main ITE driver (reference: main.py:704)."""
+    """The main ITE driver (reference: main.py:704).
+
+    `progress`: optional utils.progress.ProgressHierarchy for the reference's
+    leveled progress bars (visuals.py:31-46)."""
+    from ..utils.progress import get_progress_bar
+
     log = logger or logging.getLogger("ite")
     rng = random.Random(config.seed)
     if cell is None:
@@ -327,7 +333,9 @@ def full_ite(
     no_improve = 0
     skip_until_new_dt = False
 
+    main_bar = get_progress_bar(progress, len(config.time_steps), "ITE", "ITE-main")
     for step_idx, dt in enumerate(config.time_steps):
+        main_bar.next(extra_str=f"dt={dt:.1e}")
         if dt != last_dt:
             errors_this_dt = 0
             last_dt = dt
@@ -362,8 +370,14 @@ def full_ite(
             seg.modes_order = modes
             if modes:
                 last_mode = modes[-1]
+            seg_bar = get_progress_bar(progress, len(modes),
+                                       "segment", "ITE-per-segment")
             for _mode in modes:
+                seg_bar.next(extra_str=f"mode={_mode.name}")
+                mode_bar = get_progress_bar(progress, len(edge_order),
+                                            "edges", "ITE-per-mode")
                 for edge, dt_edge in edge_order:
+                    mode_bar.next(extra_str=str(edge))
                     if config.bp_every_edge or messages is None:
                         messages, bst = robust_belief_propagation(cell, messages, bp_config, N)
                         seg.bp_stats.append(bst)

@@ -46,6 +46,76 @@ def expectation_values_with_rdm(rho: np.ndarray) -> Dict[str, tuple]:
     return res
 
 
+def sandwich_expectation(
+    cell: UnitCell,
+    messages: MessageDict,
+    N: int,
+    chi: int,
+    chi_msg: int,
+    operator: np.ndarray,
+    flavor: int = 0,
+    force_real: bool = False,
+):
+    """⟨op⟩ at a central site of `flavor` by fully contracting the operator
+    sandwich — the reference's `_sandwich_with_operator_and_contract_fully` +
+    `_calc_and_check_expectation_value` path (measurements.py:419-519):
+    numerator = TN with the site's double-layer tensor replaced by the
+    ket–op–bra sandwich, denominator = the plain TN norm, both with
+    mantissa/log separation so the ratio never under/overflows. The message
+    log-scales cancel in the ratio. Independent of the RDM path — used to
+    cross-check it (tests/test_measurements_sandwich.py)."""
+    import jax.numpy as jnp
+
+    from ..lattices import BlockSide
+    from ..networks.unit_cell import fused_tensor_with_operator
+    from ..ops.contract import execute_plan
+    from ..utils.jaxtools import to_complex_scalar
+    from . import contraction as C
+
+    D = cell.D
+    plan = C.full_scalar_plan(N, D, chi, chi_msg)
+    graph = C._graph_for(N, D, chi_msg, tuple(int(s) for s in BlockSide))
+
+    lat_nodes = [n for n in graph.nodes if n.source[0] == "lat"]
+    mine = [n for n in lat_nodes if n.source[1] % 3 == flavor % 3]
+    cx = np.mean([n.pos for n in lat_nodes], axis=0)
+    node = min(mine, key=lambda n: (n.pos[0] - cx[0]) ** 2 + (n.pos[1] - cx[1]) ** 2)
+    target_idx = node.source[1]
+
+    fused = C.fused_cells(cell)
+    t = (cell.A, cell.B, cell.C)[flavor % 3]
+    f_op = fused_tensor_with_operator(t, operator)
+    msg_sites = {int(s): tuple(m.sites) for s, m in messages.items()}
+
+    def fetch(source, _op_at=target_idx):
+        if source[0] == "lat":
+            if source[1] == _op_at:
+                return f_op
+            return fused[source[1] % 3]
+        _, side, k = source
+        return msg_sites[side][k]
+
+    num_m, num_l = execute_plan(plan, fetch)
+    den_m, den_l = execute_plan(plan, lambda s: fetch(s, _op_at=-1))
+    ratio = to_complex_scalar(num_m) / to_complex_scalar(den_m)
+    val = ratio * float(np.exp(float(num_l - den_l)))
+    return float(val.real) if force_real else val
+
+
+def measure_xyz_sandwich(
+    cell: UnitCell, messages: MessageDict, N: int, chi: int, chi_msg: int
+) -> Dict[str, Dict[str, complex]]:
+    """Per-flavor ⟨x/y/z⟩ via the full-sandwich path (reference:
+    measurements.py:579 `measure_xyz` uses the sandwich per core node)."""
+    out: Dict[str, Dict[str, complex]] = {}
+    for f, name in enumerate("ABC"):
+        out[name] = {
+            k: sandwich_expectation(cell, messages, N, chi, chi_msg, pauli.ALL[k], f)
+            for k in "xyz"
+        }
+    return out
+
+
 def measure_energies_and_observables(
     cell: UnitCell,
     messages: MessageDict,

@@ -38,7 +38,14 @@ class ContractionConfig:
 class VisualsConfig:
     verbose: bool = True
     live_plots: bool = False
-    progress_bars: bool = False
+    # False / True / per-level dict — materialised by `progress_hierarchy()`
+    # (reference: containers/visuals.py:31 ProgressBarsConfig)
+    progress_bars: object = False
+
+    def progress_hierarchy(self):
+        from .utils.progress import ProgressHierarchy
+
+        return ProgressHierarchy(self.progress_bars)
 
 
 @dataclass

@@ -81,5 +81,11 @@ class UpdateEdge(NamedTuple):
 
 
 class MessageModel(str, Enum):
+    """The 4 initial-message models (reference: enums/tensor_networks.py
+    MessageModel {UQ, RQ, UC, RC}; the classical two raise NotImplemented in
+    the reference, here all four are supported by ops/mps.py)."""
+
     UNIFORM_QUANTUM = "uniform"
     RANDOM_QUANTUM = "random"
+    UNIFORM_CLASSIC = "uniform-classic"
+    RANDOM_CLASSIC = "random-classic"

@@ -170,3 +170,15 @@ def fused_tensor(t: jnp.ndarray) -> jnp.ndarray:
     tt = jnp.tensordot(t, jnp.conj(t), axes=([0], [0]))  # [D]*4 + [D*]*4
     tt = jnp.transpose(tt, (0, 4, 1, 5, 2, 6, 3, 7))
     return tt.reshape(D * D, D * D, D * D, D * D)
+
+
+def fused_tensor_with_operator(t: jnp.ndarray, op) -> jnp.ndarray:
+    """ket–op–bra sandwich with fused ket-bra pairs: the double-layer tensor
+    of ⟨ψ| op |ψ⟩ at one site, [d, D,D,D,D] + op[d, d] → [D²,D²,D²,D²]
+    (reference: measurements.py:419
+    `_sandwich_fused_tensors_with_expectation_values`)."""
+    D = t.shape[1]
+    t_op = jnp.tensordot(jnp.asarray(op, t.dtype), t, axes=([1], [0]))  # [d, D*4]
+    tt = jnp.tensordot(t_op, jnp.conj(t), axes=([0], [0]))
+    tt = jnp.transpose(tt, (0, 4, 1, 5, 2, 6, 3, 7))
+    return tt.reshape(D * D, D * D, D * D, D * D)

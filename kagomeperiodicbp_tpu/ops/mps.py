@@ -317,6 +317,26 @@ def uniform_message(D: int, n_sites: int, dtype=jnp.complex128) -> MPS:
     return from_sites([v] * n_sites)
 
 
+def classical_message(D: int, n_sites: int, key=None, dtype=jnp.complex128) -> MPS:
+    """Classical (diagonal) initial messages: probability distributions on
+    the fused D² physical leg's diagonal. key=None → uniform distribution
+    ("UC"), else a random distribution ("RC"). The reference enumerates
+    these models but raises NotImplemented for them
+    (tensor_networks/mps.py:183-187); here they are supported.
+    """
+    p = D * D
+    if key is None:
+        diag = jnp.full((D,), 1.0 / D)
+        return from_sites([jnp.diag(diag.astype(dtype)).reshape(1, p, 1)] * n_sites)
+    keys = jax.random.split(key, n_sites)
+    sites = []
+    for k in keys:
+        w = jax.random.uniform(k, (D,), minval=0.1, maxval=1.0)
+        w = (w / jnp.sum(w)).astype(dtype)
+        sites.append(jnp.diag(w).reshape(1, p, 1))
+    return from_sites(sites)
+
+
 def random_message(D: int, n_sites: int, key, dtype=jnp.complex128) -> MPS:
     """Random product of |v⟩⟨v| ket-bra vectorisations
     (reference: mps.py:77 with random=True, per-site independent)."""

@@ -62,6 +62,8 @@ def main(argv=None):
                         "boundary (reference: always_use_lowest_energy_state)")
     p.add_argument("--mode-reps", type=int, default=None,
                    help="num_mode_repetitions_per_segment (default 5)")
+    p.add_argument("--progress-bars", action="store_true",
+                   help="hierarchical progress bars on stderr")
     args = p.parse_args(argv)
 
     import jax
@@ -128,6 +130,8 @@ def main(argv=None):
     config = Config.derive_from_dimensions(args.D, N=args.N, d=args.d)
     config.dtype = dtype
     config.contraction.trunc_dim_factor = args.chi_factor
+    config.visuals.progress_bars = args.progress_bars
+    config.visuals.live_plots = args.live_plots
     config.ite = ITEConfig(
         hamiltonian=ham,
         hamiltonian_field=ham_field,
@@ -152,6 +156,7 @@ def main(argv=None):
         measurement_chi_factor=args.measure_chi_factor,
         save_best_store=True,
         plots=_make_plots(args, ham),
+        progress=config.visuals.progress_hierarchy(),
     )
 
     out_path = os.path.join(args.out, f"D={args.D} energy={best}.pkl")
