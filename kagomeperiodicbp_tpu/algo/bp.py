@@ -55,6 +55,10 @@ class BPConfig:
     # executes per-side-sized programs but produces poisoned outputs for the
     # 6× larger batched program (measured: per-side 582 sweeps/s on chip).
     batched: Optional[bool] = None
+    # single-layer ket swallowing (reference bubblecon.py:1855): peak swallow
+    # memory χ²·d·D⁴ instead of χ²·D⁶. None = auto: on for D ≥ 6 (where the
+    # fused D⁴-leg tensors start to dominate memory), off below.
+    single_layer: Optional[bool] = None
 
     @property
     def chi_bubble(self) -> int:
@@ -153,16 +157,27 @@ def belief_propagation(
 
     from . import fused as F
 
-    fused = C.fused_cells(cell)
     stats = BPStats(final_config=config)
     from . import batched as B
 
+    single = config.single_layer
+    if single is None:
+        single = D >= 6
     use_batched = config.batched
     if use_batched is None:
-        use_batched = not B._on_axon()
-    if use_batched:
+        use_batched = not B._on_axon() and not single
+    if single:
+        # single-layer swallowing consumes the raw ket tensors
+        fused = tuple(cell._tensors) if hasattr(cell, "_tensors") else (
+            cell.A, cell.B, cell.C
+        )
+        use_batched = False
+        step_fn = F.bp_iteration(N, D, chi, chi_msg, config.damping, single=True)
+    elif use_batched:
+        fused = C.fused_cells(cell)
         step_fn = B.bp_iteration_batched(N, D, chi, chi_msg, config.damping)
     else:
+        fused = C.fused_cells(cell)
         step_fn = F.bp_iteration(N, D, chi, chi_msg, config.damping)
     msg_sites = F._msgs_to_sites(messages)
     best_err, best_sites = float("inf"), msg_sites

@@ -60,10 +60,14 @@ def fused_cells(cell) -> Tuple[jnp.ndarray, ...]:
     return tuple(fused_tensor(cell[f]) for f in FLAVORS)
 
 
-def _make_fetch(fused: Sequence[jnp.ndarray], msgs: Dict[int, Tuple[jnp.ndarray, ...]]):
+def _make_fetch(fused: Optional[Sequence[jnp.ndarray]],
+                msgs: Dict[int, Tuple[jnp.ndarray, ...]],
+                kets: Optional[Sequence[jnp.ndarray]] = None):
     def fetch(source):
         if source[0] == "lat":
             return fused[source[1] % len(fused)]
+        if source[0] == "ket":  # single-layer executor mode
+            return kets[source[1] % len(kets)]
         _, side, k = source
         return msgs[side][k]
 
@@ -180,6 +184,45 @@ def outgoing_message(
 
     plan = to_message_plan(N, D, chi, chi_msg, int(toward))
     raw = run_plan(plan, cell_or_fused, messages)
+    assert isinstance(raw, MPS)
+    out = finalize_outgoing(raw, plan, num_message_sites(N))
+    out = mpslib.compress(out, chi_msg)
+    out = mpslib.pad_bonds(out, message_bond_profile(N, D, chi_msg))
+    return MPS(out.sites, jnp.zeros_like(out.logscale))
+
+
+# ------------------------- single-layer mode -------------------------------
+# (reference: bubblecon.py:1855 `swallow_ket_T` — the ket layer is swallowed
+# against the ket halves of the frontier's fused D² legs, the bra layer
+# contracted after, so the D⁴-leg fused node tensor never materialises and
+# the swallow blob peaks at χ²·d·D^4 instead of χ²·D^6. Implemented as an
+# executor mode on the SAME double-layer plan: Plan.single_layer=True makes
+# lattice steps fetch ("ket", v) and run ops/contract._swallow_ket_blob.)
+
+
+def single_layer_plan(plan: Plan) -> Plan:
+    """The same compiled plan, executed in single-layer mode."""
+    import dataclasses
+
+    return dataclasses.replace(plan, single_layer=True)
+
+
+def outgoing_message_single(
+    cell, messages: MessageDict, N: int, D: int, chi: int, chi_msg: int,
+    toward: BlockSide,
+) -> MPS:
+    """Single-layer variant of `outgoing_message`: identical message (same
+    steps, swallow-level reordering only), lower peak memory at large D."""
+    from ..lattices.kagome import num_message_sites
+
+    plan = single_layer_plan(to_message_plan(N, D, chi, chi_msg, int(toward)))
+    cells = (
+        tuple(cell._tensors) if hasattr(cell, "_tensors")
+        else (cell.A, cell.B, cell.C)
+    )
+    msg_sites = {int(s): tuple(m.sites) for s, m in messages.items()
+                 if int(s) != int(toward)}
+    raw = execute_plan(plan, _make_fetch(None, msg_sites, kets=cells))
     assert isinstance(raw, MPS)
     out = finalize_outgoing(raw, plan, num_message_sites(N))
     out = mpslib.compress(out, chi_msg)

@@ -54,13 +54,22 @@ def _make_fetch(fused, msg_sites: MsgSites):
     return fetch
 
 
-def _one_outgoing(fused, msg_sites: MsgSites, N, D, chi, chi_msg, toward: int):
+def _one_outgoing(tensors, msg_sites: MsgSites, N, D, chi, chi_msg, toward: int,
+                  single: bool = False):
     """Traced: outgoing message toward `toward`, canonical profile, unit
-    scale. (= contraction.outgoing_message, inlined for fusing)"""
+    scale. (= contraction.outgoing_message, inlined for fusing)
+
+    single=True → single-layer swallowing (`tensors` are raw ket tensors,
+    not fused double-layer ones; reference bubblecon.py:1855)."""
     from ..lattices.kagome import num_message_sites
 
     plan = C.to_message_plan(N, D, chi, chi_msg, toward)
-    out = execute_plan(plan, _make_fetch(fused, msg_sites))
+    if single:
+        plan = C.single_layer_plan(plan)
+        fetch = C._make_fetch(None, msg_sites, kets=tuple(tensors))
+    else:
+        fetch = _make_fetch(tensors, msg_sites)
+    out = execute_plan(plan, fetch)
     out = C.finalize_outgoing(out, plan, num_message_sites(N))
     out = mpslib.compress(out, chi_msg)
     out = mpslib.pad_bonds(out, message_bond_profile(N, D, chi_msg))
@@ -72,7 +81,7 @@ def _one_outgoing(fused, msg_sites: MsgSites, N, D, chi, chi_msg, toward: int):
 
 @functools.lru_cache(maxsize=None)
 def _one_side_update(N: int, D: int, chi: int, chi_msg: int,
-                     damped: bool, toward: int):
+                     damped: bool, toward: int, single: bool = False):
     """jitted (fused, msg_sites[, damping]) → (wrapped_sites, distance) for
     one side. Damping is *data* (a traced scalar), so its strength can change
     mid-run without recompiling; only damped-vs-undamped selects between two
@@ -84,7 +93,8 @@ def _one_side_update(N: int, D: int, chi: int, chi_msg: int,
     size are verified good."""
 
     def impl(fused, msg_sites: MsgSites, damping=None):
-        out = _one_outgoing(fused, msg_sites, N, D, chi, chi_msg, toward)
+        out = _one_outgoing(fused, msg_sites, N, D, chi, chi_msg, toward,
+                            single=single)
         wrapped = out.reverse()
         tgt = int(BlockSide(toward).opposite())
         old = MPS(tuple(msg_sites[tgt]), jnp.zeros_like(wrapped.logscale))
@@ -100,12 +110,17 @@ def _one_side_update(N: int, D: int, chi: int, chi_msg: int,
     return resilient_jit(impl)
 
 
-def bp_iteration(N: int, D: int, chi: int, chi_msg: int, damping: Optional[float]):
+def bp_iteration(N: int, D: int, chi: int, chi_msg: int, damping: Optional[float],
+                 single: bool = False):
     """(fused, msg_sites[, damping]) → (new_msg_sites, mean_distance): one
     synchronous BP sweep, dispatched as 6 per-side jitted programs. The
-    damping strength may be overridden per call without recompiling."""
+    damping strength may be overridden per call without recompiling.
+
+    single=True → single-layer swallowing; pass raw ket cell tensors in
+    place of the fused ones."""
     damped = bool(damping)
-    fns = {int(s): _one_side_update(N, D, chi, chi_msg, damped, int(s)) for s in BlockSide}
+    fns = {int(s): _one_side_update(N, D, chi, chi_msg, damped, int(s), single)
+           for s in BlockSide}
 
     def run(fused, msg_sites: MsgSites, damping_value: Optional[float] = None):
         d = damping_value if damping_value is not None else (damping or 0.0)

@@ -186,6 +186,65 @@ def _split_blob(blob: jnp.ndarray, frontier: Frontier) -> List[jnp.ndarray]:
     return sites
 
 
+def _fuse_ket(tk: jnp.ndarray, n_out: int) -> jnp.ndarray:
+    """ket [out.., d] ⊗ conj → fused [D²-out..] (zero-in-leg fallback)."""
+    tt = jnp.tensordot(tk, jnp.conj(tk), axes=([-1], [-1]))
+    perm = []
+    for i in range(n_out):
+        perm += [i, n_out + i]
+    tt = jnp.transpose(tt, perm)
+    dims = tuple(tt.shape[2 * i] * tt.shape[2 * i + 1] for i in range(n_out))
+    return tt.reshape(dims)
+
+
+def _swallow_ket_blob(tk: jnp.ndarray, consumed, n_in: int, n_out: int, D: int):
+    """Single-layer swallow (reference: bubblecon.py:1855 `swallow_ket_T`):
+    contract the ket tensor against the ket halves of the consumed fused-leg
+    frontier sites, then the bra copy against the accumulated bra halves,
+    trace the physical pair and re-fuse the out legs.
+
+    tk: ket tensor permuted to [in1..in_nin, out1..out_nout, d] with D-dim
+    virtual legs; consumed: the frontier sites [a, D², b]. Returns the same
+    blob [Dl, D²-out..., Dr] the double-layer path would produce, but the
+    intermediate peaks at χ²·d·D^(n_in+n_out) instead of χ²·(D²)^(max(n_in,
+    n_out)+…) — the large-D memory enabler."""
+    d = tk.shape[-1]
+    out_dims = tk.shape[n_in:-1]
+    bra0 = jnp.conj(tk)  # [in..., out..., d]
+    tk_f = tk.reshape(tk.shape[:n_in] + (-1,))  # [in..., F], F = Πout·d
+
+    s0 = consumed[0]
+    a0, _p, b0 = s0.shape
+    m0 = s0.reshape(a0, D, D, b0)
+    A = jnp.tensordot(m0, tk_f, axes=([1], [0]))  # [a, bra1, b, in2.., F]
+    A = jnp.moveaxis(A, 1, -1)                    # [a, b, in2.., F, bra1]
+    for j in range(1, n_in):
+        sj = consumed[j]
+        aj, _pj, bj = sj.shape
+        mj = sj.reshape(aj, D, D, bj)
+        # left bond ↔ current right bond, ket leg ↔ in_j
+        A = jnp.tensordot(mj, A, axes=([0, 1], [1, 2]))
+        # [bra_j, bj, a, in.., F, bras..] → [a, bj, in.., F, bras.., bra_j]
+        A = jnp.moveaxis(A, 0, -1)
+        A = jnp.moveaxis(A, 0, 1)
+    # A: [a, b, F, bra1..bra_nin]
+    A = jnp.tensordot(A, bra0, axes=(list(range(3, 3 + n_in)), list(range(n_in))))
+    # A: [a, b, F, bra_out.., d_bra] — unfuse F
+    A = A.reshape(A.shape[:2] + tuple(out_dims) + (d,) + A.shape[3:])
+    # trace d_ket ↔ d_bra
+    A = jnp.trace(A, axis1=2 + n_out, axis2=3 + 2 * n_out)
+    # A: [a, b, ket_out.., bra_out..] → interleave pairs, fuse to D² legs
+    perm = [0]
+    for i in range(n_out):
+        perm += [2 + i, 2 + n_out + i]
+    perm += [1]
+    A = jnp.transpose(A, perm)
+    shape = (A.shape[0],) + tuple(
+        out_dims[i] * out_dims[i] for i in range(n_out)
+    ) + (A.shape[-1],)
+    return A.reshape(shape)
+
+
 def execute_plan(
     plan: Plan,
     fetch: Callable[[Source], jnp.ndarray],
@@ -198,17 +257,32 @@ def execute_plan(
     fr = Frontier(plan.chi)
 
     for step in plan.steps:
-        t = fetch(step.source)
-        if dtype is not None:
-            t = t.astype(dtype)
-        fr._init_scale(t.dtype)
-        t = jnp.transpose(t, step.perm)
+        single = plan.single_layer and step.source[0] == "lat"
+        if single:
+            kt = fetch(("ket", step.source[1]))   # [d, v0..v3], D-dim legs
+            if dtype is not None:
+                kt = kt.astype(dtype)
+            fr._init_scale(kt.dtype)
+            # permute virtual legs per the (double-layer) plan, d last
+            t = jnp.transpose(kt, tuple(p + 1 for p in step.perm) + (0,))
+        else:
+            t = fetch(step.source)
+            if dtype is not None:
+                t = t.astype(dtype)
+            fr._init_scale(t.dtype)
+            t = jnp.transpose(t, step.perm)
 
         s, n_in, n_out = step.start, step.n_in, step.n_out
 
         if n_in == 0:
             assert not fr.sites, "zero-in-leg step on a non-empty frontier"
+            if single:
+                # no frontier contact: the fused node tensor is the blob
+                t = _fuse_ket(t, n_out)
             blob = t.reshape((1,) + t.shape + (1,))
+        elif single:
+            D = t.shape[0]
+            blob = _swallow_ket_blob(t, fr.sites[s : s + n_in], n_in, n_out, D)
         else:
             consumed = fr.sites[s : s + n_in]
             run = jnp.tensordot(t, consumed[0], axes=([0], [1]))

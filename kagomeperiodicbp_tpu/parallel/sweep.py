@@ -144,6 +144,18 @@ def run_sweep(
     return results
 
 
+def smoke_worker(pt: SweepPoint) -> Dict[str, Any]:
+    """Minimal worker used by tests and dry runs: one tiny jitted program in
+    the child process, proving the pool + per-child JAX platform wiring."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.arange(pt.D * pt.N, dtype=jnp.float32)
+    val = float(jax.jit(lambda v: (v * v).sum())(x))
+    return {"pid_value": val, "platform": jax.devices()[0].platform,
+            "seed": pt.seed}
+
+
 def ite_worker(pt: SweepPoint, steps: Optional[List[float]] = None) -> Dict[str, Any]:
     """Default 'ite' sweep job: run full_ite at the point's parameters
     (reference: condor/send_ite.py)."""

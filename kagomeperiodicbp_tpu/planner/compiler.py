@@ -67,6 +67,10 @@ class Plan:
     # until some frontier bond exceeds chi_lazy, then the whole frontier is
     # truncated to chi. None = truncate after every swallow (default).
     chi_lazy: Optional[int] = None
+    # single-layer swallowing (reference bubblecon.py:1855 swallow_ket_T):
+    # lattice steps fetch the raw ket tensor ("ket", v) and contract the ket
+    # and bra layers separately — same plan, lower peak memory at large D.
+    single_layer: bool = False
 
     @property
     def n_final(self) -> int:
