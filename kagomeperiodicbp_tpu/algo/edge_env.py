@@ -218,11 +218,14 @@ def _norm_rescale(x, logs):
 
 
 def edge_environment_sites(cells, msg_sites, N: int, chi: int, chi_msg: int,
-                           edge: UpdateEdge):
+                           edge: UpdateEdge, single_layer: bool = False):
     """The single traced implementation of the edge environment.
 
     * cells — (A, B, C) ket tensors;
-    * msg_sites — dict side-int → tuple of message site arrays.
+    * msg_sites — dict side-int → tuple of message site arrays;
+    * single_layer — run the top/bot boundary plans in single-layer
+      swallowing mode (large-D memory; reference bubblecon.py:1855). The
+      chain ladder still uses the 3 fused tensors (bounded: 3·D⁸ elements).
 
     Returns (t1, t2, env, (perm1, perm2)) — see `edge_environment`.
     Used directly by the fused/jitted paths (algo/fused.py,
@@ -244,13 +247,19 @@ def edge_environment_sites(cells, msg_sites, N: int, chi: int, chi_msg: int,
     def fetch_plan(source):
         if source[0] == "lat":
             return fused[source[1] % len(fused)]
+        if source[0] == "ket":  # raw [d, v0..v3]; executor moves d last
+            return cells[source[1] % len(cells)]
         _, side, k = source
         return msg_sites[side][k]
 
     from ..ops.contract import execute_plan
 
-    top = execute_plan(geo.top_plan, fetch_plan)
-    bot = execute_plan(geo.bot_plan, fetch_plan)
+    top_plan, bot_plan = geo.top_plan, geo.bot_plan
+    if single_layer:
+        top_plan = C.single_layer_plan(top_plan)
+        bot_plan = C.single_layer_plan(bot_plan)
+    top = execute_plan(top_plan, fetch_plan)
+    bot = execute_plan(bot_plan, fetch_plan)
     assert isinstance(top, MPS) and isinstance(bot, MPS)
 
     # fetchers for chain tensors

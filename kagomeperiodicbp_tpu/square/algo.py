@@ -1,0 +1,365 @@
+"""Square-lattice BlockBP + imaginary-time evolution.
+
+TPU-native re-design of the reference's legacy square engine
+(/root/reference/src/libs/squareITE.py): BP message passing (:2558
+`BP_RDMs`), energy measurement (:3085 `PEPS_energy`), and ground-state
+search via gate-based simple update (:2091 `update_blocks` in its
+environment-free mode, :1662/:1715 `get_horiz_gates`/`get_vertical_gates`)
+— all running on the same plan compiler/executor as the Kagome engine.
+
+Unit cell: an m×m array of ket tensors with legs [d, U, L, D, R], tiled
+periodically over an n×n block (site (i,j) → cell[i%m][j%m]).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..networks.unit_cell import fused_tensor, fused_tensor_with_operator
+from ..ops import mps as mpslib
+from ..ops.contract import execute_plan
+from ..ops.mps import MPS
+from ..planner.compiler import Plan, compile_plan
+from ..utils.jaxtools import to_complex_scalar
+from .lattice import (
+    LEG_D, LEG_L, LEG_R, LEG_U, SquareSide, boundary_legs, full_square_graph,
+    site_index, square_message_profile,
+)
+
+MessageDict = Dict[SquareSide, MPS]
+
+
+# ------------------------------- plans -------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _graph_for(n: int, D: int, chi_msg: int, sides: Tuple[int, ...]):
+    return full_square_graph(n, D, chi_msg, tuple(SquareSide(s) for s in sides))
+
+
+@functools.lru_cache(maxsize=None)
+def message_plan(n: int, D: int, chi: int, chi_msg: int, toward: int) -> Plan:
+    sides = tuple(int(s) for s in SquareSide if int(s) != toward)
+    graph = _graph_for(n, D, chi_msg, sides)
+    return compile_plan(graph, SquareSide(toward), chi)
+
+
+@functools.lru_cache(maxsize=None)
+def scalar_plan(n: int, D: int, chi: int, chi_msg: int,
+                toward: int = int(SquareSide.UP)) -> Plan:
+    graph = _graph_for(n, D, chi_msg, tuple(int(s) for s in SquareSide))
+    return compile_plan(graph, SquareSide(toward), chi)
+
+
+# --------------------------- messages + BP ---------------------------------
+
+
+def initial_messages(n: int, D: int, chi: int, model: str = "uniform", key=None,
+                     dtype=jnp.complex128) -> MessageDict:
+    msgs: MessageDict = {}
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, 4)
+    profile = square_message_profile(n, D, chi)
+    for side, k in zip(SquareSide, keys):
+        if model == "uniform":
+            m = mpslib.uniform_message(D, n, dtype)
+        elif model == "random":
+            m = mpslib.random_message(D, n, k, dtype)
+        else:
+            raise ValueError(model)
+        msgs[side] = mpslib.pad_bonds(m, profile)
+    return msgs
+
+
+def _tile_fetch(cell: Sequence[Sequence[jnp.ndarray]], n: int,
+                msgs: Dict[int, Tuple[jnp.ndarray, ...]],
+                replace: Optional[Dict[int, jnp.ndarray]] = None):
+    """Fetch for square plans. Cell tensors have legs [d, U, L, D, R]; the
+    graph's lattice legs are ordered [U, L, D, R], so the fused tensor's leg
+    order matches directly."""
+    m = len(cell)
+    fused_cache: Dict[Tuple[int, int], jnp.ndarray] = {}
+
+    def fetch(source):
+        if source[0] == "lat":
+            v = source[1]
+            if replace and v in replace:
+                return replace[v]
+            i, j = divmod(v, n)
+            key = (i % m, j % m)
+            if key not in fused_cache:
+                fused_cache[key] = fused_tensor(cell[key[0]][key[1]])
+            return fused_cache[key]
+        _, side, k = source
+        return msgs[side][k]
+
+    return fetch
+
+
+def outgoing_message(cell, n: int, D: int, messages: MessageDict, chi: int,
+                     chi_msg: int, toward: SquareSide) -> MPS:
+    plan = message_plan(n, D, chi, chi_msg, int(toward))
+    msg_sites = {int(s): tuple(m.sites) for s, m in messages.items()
+                 if int(s) != int(toward)}
+    raw = execute_plan(plan, _tile_fetch(cell, n, msg_sites))
+    assert isinstance(raw, MPS)
+    sites = list(raw.sites)
+    # fold dim-1 corner ends (same convention as the Kagome finalize)
+    while len(sites) > n:
+        if sites[0].shape[1] == 1:
+            mcorner = sites[0].reshape(sites[0].shape[0], sites[0].shape[2])
+            sites[1] = jnp.einsum("ab,bpc->apc", mcorner, sites[1])
+            sites = sites[1:]
+        elif sites[-1].shape[1] == 1:
+            mcorner = sites[-1].reshape(sites[-1].shape[0], sites[-1].shape[2])
+            sites[-2] = jnp.einsum("apb,bc->apc", sites[-2], mcorner)
+            sites = sites[:-1]
+        else:
+            raise AssertionError("unexpected non-trivial extra message site")
+    out = MPS(tuple(sites), raw.logscale)
+    out = mpslib.compress(out, chi_msg)
+    out = mpslib.pad_bonds(out, square_message_profile(n, D, chi_msg))
+    return MPS(out.sites, jnp.zeros_like(out.logscale))
+
+
+def bp_step(cell, n: int, D: int, messages: MessageDict, chi: int,
+            chi_msg: int) -> MessageDict:
+    """One synchronous sweep; wrap = reversed outgoing into the opposite
+    side (periodic identification, same as the Kagome wiring)."""
+    new: MessageDict = {}
+    for side in SquareSide:
+        out = outgoing_message(cell, n, D, messages, chi, chi_msg, side)
+        new[side.opposite()] = out.reverse()
+    return new
+
+
+def belief_propagation(cell, n: int, D: int, chi_msg: int,
+                       max_iterations: int = 40, tol: float = 1e-10,
+                       chi: Optional[int] = None, messages=None,
+                       dtype=jnp.complex128) -> Tuple[MessageDict, float]:
+    chi = chi or chi_msg
+    msgs = messages or initial_messages(n, D, chi_msg, dtype=dtype)
+    eps = float(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps)
+    tol = max(tol, 30 * eps)
+    err = float("inf")
+    for _ in range(max_iterations):
+        new = bp_step(cell, n, D, msgs, chi, chi_msg)
+        err = float(np.mean([float(mpslib.distance(msgs[s], new[s]))
+                             for s in SquareSide]))
+        msgs = new
+        if err < tol:
+            break
+    return msgs, err
+
+
+# ---------------------------- measurement ----------------------------------
+
+
+def _kron_terms(h: np.ndarray) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """h[iK,iB,jK,jB] = Σ_k A_k ⊗ B_k (operator-Schmidt decomposition)."""
+    d = h.shape[0]
+    M = h.reshape(d * d, d * d)
+    u, s, vh = np.linalg.svd(M)
+    terms = []
+    for k in range(len(s)):
+        if s[k] < 1e-14:
+            break
+        terms.append(((u[:, k] * s[k]).reshape(d, d), vh[k, :].reshape(d, d)))
+    return terms
+
+
+def _scalar(cell, n, D, msgs_sites, chi, chi_msg, replace=None) -> Tuple[complex, float]:
+    plan = scalar_plan(n, D, chi, chi_msg)
+    mant, log = execute_plan(plan, _tile_fetch(cell, n, msgs_sites, replace))
+    return to_complex_scalar(mant), float(log)
+
+
+def pair_expectation(cell, n: int, D: int, messages: MessageDict, chi: int,
+                     chi_msg: int, h: np.ndarray, v1: int, v2: int) -> complex:
+    """⟨h⟩ on the site pair (v1, v2) by operator-Schmidt-decomposing h into
+    ≤d² single-site Kronecker terms, each a full sandwich contraction
+    (reference: PEPS_energy via RDMs, squareITE.py:3085 — here RDM-free)."""
+    m = len(cell)
+    msg_sites = {int(s): tuple(mm.sites) for s, mm in messages.items()}
+    den_m, den_l = _scalar(cell, n, D, msg_sites, chi, chi_msg)
+    total = 0.0 + 0.0j
+    for a_op, b_op in _kron_terms(h):
+        i1, j1 = divmod(v1, n)
+        i2, j2 = divmod(v2, n)
+        t1 = cell[i1 % m][j1 % m]
+        t2 = cell[i2 % m][j2 % m]
+        rep = {
+            v1: fused_tensor_with_operator(t1, jnp.asarray(a_op, t1.dtype)),
+            v2: fused_tensor_with_operator(t2, jnp.asarray(b_op, t2.dtype)),
+        }
+        num_m, num_l = _scalar(cell, n, D, msg_sites, chi, chi_msg, rep)
+        total += (num_m / den_m) * np.exp(num_l - den_l)
+    return total
+
+
+def measure_energy(cell, n: int, D: int, messages: MessageDict, chi: int,
+                   chi_msg: int, h: np.ndarray) -> float:
+    """Mean energy per site: one horizontal + one vertical bond per cell
+    class, averaged over the cell and measured at central block sites
+    (2 bonds/site on the square lattice)."""
+    m = len(cell)
+    c = max((n - m - 1) // 2, 0)
+    assert c + m < n, f"block n={n} too small to center an m={m} cell's bonds"
+    e_sum = 0.0
+    n_pairs = 0
+    for di in range(m):
+        for dj in range(m):
+            i, j = c + di, c + dj
+            v1, v2 = site_index(i, j, n), site_index(i, j + 1, n)
+            e_sum += pair_expectation(cell, n, D, messages, chi, chi_msg, h, v1, v2).real
+            v1, v2 = site_index(i, j, n), site_index(i + 1, j, n)
+            e_sum += pair_expectation(cell, n, D, messages, chi, chi_msg, h, v1, v2).real
+            n_pairs += 2
+    # 2 bonds per site on the square lattice
+    return 2.0 * e_sum / max(n_pairs, 1)
+
+
+# --------------------------- simple-update ITE -----------------------------
+
+
+def _gate(h: np.ndarray, dt: float, dtype) -> jnp.ndarray:
+    """exp(−dt·h) in [iK, iB, jK, jB] layout: matricise as [(iK,jK),(iB,jB)]
+    before exponentiating (same as ops/ite_kernels.gate_from_hamiltonian)."""
+    d = h.shape[0]
+    M = np.transpose(h, (0, 2, 1, 3)).reshape(d * d, d * d)
+    w, v = np.linalg.eigh((M + M.conj().T) / 2)
+    g = (v * np.exp(-dt * w)) @ v.conj().T
+    return jnp.asarray(
+        np.transpose(g.reshape(d, d, d, d), (0, 2, 1, 3)), dtype
+    )
+
+
+def simple_update(
+    h: np.ndarray,
+    D: int,
+    m: int = 2,
+    d: int = 2,
+    dts: Sequence[float] = (0.1, 0.05, 0.01, 0.005, 0.001),
+    sweeps_per_dt: int = 60,
+    key=None,
+    dtype=jnp.complex128,
+    staggered_field: float = 0.4,
+):
+    """Gate-based simple update on the m×m periodic square cell with per-bond
+    λ weights (squareITE.py:2091 `update_blocks` environment-free mode).
+
+    `staggered_field`: initial strength of a decaying staggered −B·(−1)^(i+j)Sz
+    field (halved at each dt stage, off at the last). Without it the
+    bipartite AFM collapses into the Z₂ Néel *cat* state — the bond
+    dimension is spent on the classical superposition (every bond lands at
+    ⟨S·S⟩ = −¼ exactly) instead of quantum fluctuations. The same basin
+    trick as the reference's AFM-T protocol (scripts/run_ite.py:29).
+
+    Returns (cell, lambdas): cell[i][j] legs [d, U, L, D, R]."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    keys = jax.random.split(key, m * m)
+    cell = [[jax.random.normal(keys[i * m + j], (d, D, D, D, D)).astype(dtype)
+             for j in range(m)] for i in range(m)]
+    cell = [[t / jnp.linalg.norm(t) for t in row] for row in cell]
+    # bond classes: ("h", i, j) joins (i,j).R ↔ (i,(j+1)%m).L;
+    #               ("v", i, j) joins (i,j).U ↔ ((i+1)%m,j).D
+    lambdas: Dict[Tuple[str, int, int], jnp.ndarray] = {}
+    for i in range(m):
+        for j in range(m):
+            lambdas[("h", i, j)] = jnp.ones((D,), dtype=jnp.zeros((), dtype).real.dtype) / np.sqrt(D)
+            lambdas[("v", i, j)] = jnp.ones((D,), dtype=jnp.zeros((), dtype).real.dtype) / np.sqrt(D)
+
+    # leg of each tensor touched by a bond class, per orientation
+    def bonds_of(i, j):
+        # (class, leg) pairs for tensor (i, j); legs in [d, U, L, D, R] order
+        return [
+            (("h", i, j), 4),                 # its RIGHT leg
+            (("h", i, (j - 1) % m), 2),       # its LEFT leg
+            (("v", i, j), 1),                 # its UP leg
+            (("v", (i - 1) % m, j), 3),       # its DOWN leg
+        ]
+
+    def absorb(t, i, j, lam_map, skip, inverse=False):
+        for cls, leg in bonds_of(i, j):
+            if leg == skip:
+                continue
+            lam = lam_map[cls]
+            lam = 1.0 / lam if inverse else lam
+            shape = [1] * 5
+            shape[leg] = lam.shape[0]
+            t = t * lam.reshape(shape).astype(t.dtype)
+        return t
+
+    assert m % 2 == 0 or staggered_field == 0, \
+        "staggered field needs an even cell (consistent sublattice parity)"
+    sz = np.diag([0.5, -0.5]).astype(complex)
+    id_d = np.eye(d, dtype=complex)
+
+    for stage, dt in enumerate(dts):
+        b = 0.0 if stage == len(dts) - 1 else staggered_field * (0.5 ** stage)
+        gates = {}
+        for s1 in (+1, -1):
+            # per-bond share: each site sits in 4 bonds → field weight B/4
+            hb = h - (b / 4.0) * s1 * (
+                np.tensordot(sz, id_d, 0) - np.tensordot(id_d, sz, 0)
+            )
+            gates[s1] = _gate(hb, dt, dtype)
+        for _ in range(sweeps_per_dt):
+            for i in range(m):
+                for j in range(m):
+                    for orient in ("h", "v"):
+                        if orient == "h":
+                            i2, j2 = i, (j + 1) % m
+                            l1, l2 = 4, 2          # R of t1, L of t2
+                            cls = ("h", i, j)
+                        else:
+                            i2, j2 = (i + 1) % m, j
+                            l1, l2 = 1, 3          # U of t1, D of t2
+                            cls = ("v", i, j)
+                        g = gates[+1 if (i + j) % 2 == 0 else -1]
+                        t1 = absorb(cell[i][j], i, j, lambdas, skip=l1)
+                        t2 = absorb(cell[i2][j2], i2, j2, lambdas, skip=l2)
+                        lam = lambdas[cls]
+                        # move bond legs to front (after phys)
+                        t1m = jnp.moveaxis(t1, l1, 1)   # [d, b, rest(3)]
+                        t2m = jnp.moveaxis(t2, l2, 1)
+                        theta = jnp.einsum(
+                            "ibxyz,b,jbuvw->ixyzjuvw", t1m,
+                            lam.astype(dtype), t2m,
+                        )
+                        th = jnp.einsum("iIjJ,IxyzJuvw->ixyzjuvw", g, theta)
+                        mmat = th.reshape(d * D**3, d * D**3)
+                        u, s, vh = jnp.linalg.svd(mmat, full_matrices=False)
+                        k = min(D, s.shape[0])
+                        u, s, vh = u[:, :k], s[:k], vh[:k, :]
+                        s = s / jnp.linalg.norm(s)
+                        new_lam = jnp.maximum(s, 1e-15)
+                        t1n = jnp.moveaxis(
+                            u.reshape((d, D, D, D, k)), -1, 1
+                        )  # [d, b, rest]
+                        t2n = jnp.moveaxis(
+                            vh.reshape((k, d, D, D, D)), 0, 1
+                        )
+                        t1n = jnp.moveaxis(t1n, 1, l1)
+                        t2n = jnp.moveaxis(t2n, 1, l2)
+                        t1n = absorb(t1n, i, j, lambdas, skip=l1, inverse=True)
+                        t2n = absorb(t2n, i2, j2, lambdas, skip=l2, inverse=True)
+                        cell[i][j] = t1n / jnp.linalg.norm(t1n)
+                        cell[i2][j2] = t2n / jnp.linalg.norm(t2n)
+                        lambdas[cls] = new_lam
+
+    # absorb √λ symmetrically
+    sqrt_lam = {k2: jnp.sqrt(v) for k2, v in lambdas.items()}
+    out = []
+    for i in range(m):
+        row = []
+        for j in range(m):
+            t = absorb(cell[i][j], i, j, sqrt_lam, skip=-1)
+            row.append(t / jnp.linalg.norm(t))
+        out.append(row)
+    return out, lambdas

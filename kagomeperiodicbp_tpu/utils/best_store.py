@@ -36,10 +36,18 @@ def load_best(D: int, folder: str = DEFAULT_FOLDER) -> Optional[Tuple[UnitCell, 
 
 
 def save_if_best(cell: UnitCell, energy: float, D: int, folder: str = DEFAULT_FOLDER) -> bool:
-    """Store the cell iff it beats the current record. Returns True if saved."""
+    """Store the cell iff it beats the current record (replacing it — one
+    record per D, like the reference's BestUnitCellData). Returns True if
+    saved."""
     cur = load_best(D, folder)
     if cur is not None and cur[1] <= energy:
         return False
     os.makedirs(folder, exist_ok=True)
+    old = _paths(folder, D)
     cell.save(os.path.join(folder, f"D={D} energy={energy}.pkl"))
+    for path in old:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
     return True
