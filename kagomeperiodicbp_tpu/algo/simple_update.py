@@ -93,20 +93,21 @@ def simple_update(
     tensors = {0: cell.A.astype(dtype), 1: cell.B.astype(dtype), 2: cell.C.astype(dtype)}
 
     h_j = jnp.asarray(h)
-    last_gate_dt = None
-    g = None
-    prev_spectra = None
+    lam_keys = sorted(lambdas)
 
-    for dt in time_steps:
-        if dt != last_gate_dt:
-            g = gate_from_hamiltonian(h_j, dt)
-            last_gate_dt = dt
+    def sweep(tensors3, lams, g):
+        """One full SU sweep over the 6 edge classes — traced into a single
+        XLA program (per-op eager dispatch made D≥3 warm starts take tens of
+        minutes on one core; one compiled program per sweep is ~50× fewer
+        dispatches)."""
+        tns = {i: tensors3[i] for i in range(3)}
+        lms = dict(zip(lam_keys, lams))
         for e, l1, l2 in classes:
             f1, f2 = int(e.first), int(e.second)
             key2 = (f1, f2)
-            t1 = _absorb_lambdas(tensors[f1], f1, lambdas, l1, classes)
-            t2 = _absorb_lambdas(tensors[f2], f2, lambdas, l2, classes)
-            lam = lambdas[key2]
+            t1 = _absorb_lambdas(tns[f1], f1, lms, l1, classes)
+            t2 = _absorb_lambdas(tns[f2], f2, lms, l2, classes)
+            lam = lms[key2]
             t1m, inv1 = _move_leg_front(t1, l1)
             t2m, inv2 = _move_leg_front(t2, l2)
             # θ[i, rest1, j, rest2] with λ on the shared bond
@@ -128,19 +129,43 @@ def simple_update(
             # remove the previously-absorbed λs (divide) and restore leg order
             t1n = jnp.transpose(t1n, inv1)
             t2n = jnp.transpose(t2n, inv2)
-            t1n = _absorb_lambdas(t1n, f1, {k2: 1.0 / v for k2, v in lambdas.items()}, l1, classes)
-            t2n = _absorb_lambdas(t2n, f2, {k2: 1.0 / v for k2, v in lambdas.items()}, l2, classes)
-            tensors[f1] = t1n / jnp.linalg.norm(t1n)
-            tensors[f2] = t2n / jnp.linalg.norm(t2n)
-            lambdas[key2] = new_lam
-        # convergence check per dt block boundary (device→host via to_numpy:
-        # the axon TPU backend raises UNIMPLEMENTED on some direct float()
-        # transfers — see utils/jaxtools.to_numpy)
-        spectra = jnp.concatenate([lambdas[k2] for k2 in sorted(lambdas)])
-        if prev_spectra is not None and float(np.linalg.norm(_to_numpy(spectra - prev_spectra))) < tol:
+            inv_l = {k2: 1.0 / v for k2, v in lms.items()}
+            t1n = _absorb_lambdas(t1n, f1, inv_l, l1, classes)
+            t2n = _absorb_lambdas(t2n, f2, inv_l, l2, classes)
+            tns[f1] = t1n / jnp.linalg.norm(t1n)
+            tns[f2] = t2n / jnp.linalg.norm(t2n)
+            lms[key2] = new_lam
+        spectra = jnp.concatenate([lms[k2] for k2 in lam_keys])
+        return (tns[0], tns[1], tns[2]), tuple(lms[k2] for k2 in lam_keys), spectra
+
+    from ..utils.jaxtools import resilient_jit
+
+    sweep_j = resilient_jit(sweep)
+
+    # group the ladder into (dt, count) blocks; converged blocks exit early
+    blocks: List[Tuple[float, int]] = []
+    for dt in time_steps:
+        if blocks and blocks[-1][0] == dt:
+            blocks[-1] = (dt, blocks[-1][1] + 1)
+        else:
+            blocks.append((dt, 1))
+
+    tensors3 = (tensors[0], tensors[1], tensors[2])
+    lams = tuple(lambdas[k2] for k2 in lam_keys)
+    for dt, count in blocks:
+        g = gate_from_hamiltonian(h_j, dt)
+        prev_spectra = None
+        for _ in range(count):
+            tensors3, lams, spectra = sweep_j(tensors3, lams, g)
+            # convergence per dt block (device→host via to_numpy: the axon
+            # backend raises UNIMPLEMENTED on some direct float() transfers)
+            if prev_spectra is not None and float(
+                np.linalg.norm(_to_numpy(spectra - prev_spectra))
+            ) < tol:
+                break
             prev_spectra = spectra
-            continue
-        prev_spectra = spectra
+    tensors = {0: tensors3[0], 1: tensors3[1], 2: tensors3[2]}
+    lambdas = dict(zip(lam_keys, lams))
 
     # absorb √λ symmetrically into the tensors
     sqrt_lam = {k2: jnp.sqrt(v) for k2, v in lambdas.items()}
