@@ -21,15 +21,18 @@ from kagomeperiodicbp_tpu.utils.jaxtools import enable_compilation_cache
 enable_compilation_cache()
 
 
-def bench_D(D: int, N: int = 2, n_sweeps: int = 20, dtype=jnp.complex64):
+def bench_D(D: int, N: int = 2, n_sweeps: int = 20, dtype=jnp.complex64,
+            single_layer: bool = None):
     from kagomeperiodicbp_tpu.algo import contraction as C, fused as F
     from kagomeperiodicbp_tpu.networks.unit_cell import UnitCell
 
+    if single_layer is None:
+        single_layer = D >= 6 or os.environ.get("KPBP_BENCH_SINGLE_LAYER") == "1"
     chi = 2 * D * D
     cell = UnitCell.random(d=2, D=D, key=jax.random.PRNGKey(0), dtype=dtype)
-    fused = C.fused_cells(cell)
     msgs = C.initial_messages(N, D, chi, model="uniform", dtype=dtype)
-    step = F.bp_iteration(N, D, chi, chi, None)
+    step = F.bp_iteration(N, D, chi, chi, None, single=single_layer)
+    fused = (cell.A, cell.B, cell.C) if single_layer else C.fused_cells(cell)
     sites = F._msgs_to_sites(msgs)
 
     t_c0 = time.perf_counter()
@@ -44,7 +47,8 @@ def bench_D(D: int, N: int = 2, n_sweeps: int = 20, dtype=jnp.complex64):
     dt = (time.perf_counter() - t0) / n_sweeps
     return {"D": D, "N": N, "chi": chi, "sweep_seconds": round(dt, 6),
             "sweeps_per_second": round(1.0 / dt, 2),
-            "first_iteration_seconds": round(compile_s, 1)}
+            "first_iteration_seconds": round(compile_s, 1),
+            "single_layer": bool(single_layer)}
 
 
 def main():
