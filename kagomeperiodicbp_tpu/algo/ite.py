@@ -300,6 +300,7 @@ def full_ite(
     tracker: Optional[ITETracker] = None,
     dtype=jnp.complex128,
     measure_every_segment: bool = True,
+    measure_every: int = 1,
     save_best_store: bool = False,
     measurement_N: Optional[int] = None,
     measurement_chi_factor: float = 1.0,
@@ -391,7 +392,17 @@ def full_ite(
                     )
                     seg.edge_energies[str(edge)] = energy
 
-            if measure_every_segment:
+            # measurement cadence: the reference measures every segment; at
+            # large D on one core the (N+1, χ×2) measurement dominates the
+            # segment cost, so `measure_every` thins it (always measuring
+            # the last segment of each dt block)
+            is_block_end = (
+                step_idx + 1 >= len(config.time_steps)
+                or config.time_steps[step_idx + 1] != dt
+            )
+            if measure_every_segment and (
+                measure_every <= 1 or step_idx % measure_every == 0 or is_block_end
+            ):
                 # measurement-time hardening: larger block + wider chi +
                 # tighter BP + one extra retry (reference:
                 # change_config_for_measurements_func, run_ite.py:49-55)

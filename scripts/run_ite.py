@@ -64,6 +64,8 @@ def main(argv=None):
                    help="num_mode_repetitions_per_segment (default 5)")
     p.add_argument("--progress-bars", action="store_true",
                    help="hierarchical progress bars on stderr")
+    p.add_argument("--measure-every", type=int, default=1,
+                   help="measure every K segments (block ends always measured)")
     args = p.parse_args(argv)
 
     import jax
@@ -154,6 +156,7 @@ def main(argv=None):
         bp_config=config.bp, logger=log, tracker=tracker, dtype=dtype,
         measurement_N=args.measure_n or args.N + 1,
         measurement_chi_factor=args.measure_chi_factor,
+        measure_every=args.measure_every,
         save_best_store=True,
         plots=_make_plots(args, ham),
         progress=config.visuals.progress_hierarchy(),

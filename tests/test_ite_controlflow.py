@@ -156,3 +156,25 @@ def test_full_ite_rolls_back_on_segment_error(monkeypatch):
     # rolled back: noise was applied inside the failed segment, but the
     # surviving cell is bit-identical to the input
     np.testing.assert_array_equal(np.asarray(cell_out.A), np.asarray(cell0.A))
+
+
+def test_measure_every_thins_measurements():
+    """measure_every=K measures every K-th segment plus each dt-block end."""
+    cfg = I.ITEConfig(
+        hamiltonian=hamiltonians.heisenberg_afm,
+        time_steps=[1e-2] * 5 + [1e-3] * 2,
+        num_mode_repetitions_per_segment=1,
+        num_edge_repetitions_per_mode=1,
+        symmetric_second_order_trotterization=False,
+        randomly_rotate_unit_cell_between_segments=False,
+        bp_every_edge=False,
+    )
+    from kagomeperiodicbp_tpu.algo.bp import BPConfig as BC
+
+    _best, _cell, tracker = I.full_ite(
+        _tiny_cell(0), cfg, N=2, D=2, chi=12, bp_config=BC(trunc_dim=8),
+        measure_every=3,
+    )
+    # segments 0, 3, 6 (every 3rd) + 4 (end of the 1e-2 block); 6 is also
+    # the final block end → 4 measurements
+    assert len(tracker.energies) == 4
