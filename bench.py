@@ -83,7 +83,10 @@ if __name__ == "__main__":
     try:
         main()
         signal.alarm(0)
-    except BaseException as exc:  # noqa: BLE001 — the driver needs ONE JSON line
+    except Exception as exc:  # noqa: BLE001 — the driver needs ONE JSON line
+        # KeyboardInterrupt/SystemExit propagate (a manual abort must not be
+        # recorded as a 0.0 measurement); _BenchTimeout and backend errors
+        # are genuine failure datapoints
         print(json.dumps({
             "metric": f"bp_sweeps_per_second_D{D}_N{N}_chi{CHI}",
             "value": 0.0,

@@ -162,7 +162,8 @@ def belief_propagation(
 
     single = config.single_layer
     if single is None:
-        single = D >= 6
+        # auto-on at large D, but never override an explicit batched=True
+        single = D >= 6 and config.batched is not True
     use_batched = config.batched
     if use_batched is None:
         use_batched = not B._on_axon() and not single

@@ -173,6 +173,19 @@ def finalize_outgoing(raw: MPS, plan: Plan, graph_boundary_count: int) -> MPS:
     return MPS(tuple(sites), raw.logscale)
 
 
+def message_postprocess(raw: MPS, plan: Plan, N: int, D: int, chi_msg: int) -> MPS:
+    """Raw ToMessage frontier → canonical BP message: fold corner ends,
+    compress to χ, pad to the canonical profile, drop the scale (messages
+    are scale-free). The single shared tail of every outgoing-message path
+    (eager, fused/jitted, single-layer)."""
+    from ..lattices.kagome import num_message_sites
+
+    out = finalize_outgoing(raw, plan, num_message_sites(N))
+    out = mpslib.compress(out, chi_msg)
+    out = mpslib.pad_bonds(out, message_bond_profile(N, D, chi_msg))
+    return MPS(out.sites, jnp.zeros_like(out.logscale))
+
+
 def outgoing_message(
     cell_or_fused, messages: MessageDict, N: int, D: int, chi: int, chi_msg: int,
     toward: BlockSide,
@@ -180,15 +193,10 @@ def outgoing_message(
     """Compute the outgoing message through side `toward` and normalise it
     into canonical padded profile with unit norm (logscale dropped — BP
     messages are scale-free)."""
-    from ..lattices.kagome import num_message_sites
-
     plan = to_message_plan(N, D, chi, chi_msg, int(toward))
     raw = run_plan(plan, cell_or_fused, messages)
     assert isinstance(raw, MPS)
-    out = finalize_outgoing(raw, plan, num_message_sites(N))
-    out = mpslib.compress(out, chi_msg)
-    out = mpslib.pad_bonds(out, message_bond_profile(N, D, chi_msg))
-    return MPS(out.sites, jnp.zeros_like(out.logscale))
+    return message_postprocess(raw, plan, N, D, chi_msg)
 
 
 # ------------------------- single-layer mode -------------------------------
@@ -213,8 +221,6 @@ def outgoing_message_single(
 ) -> MPS:
     """Single-layer variant of `outgoing_message`: identical message (same
     steps, swallow-level reordering only), lower peak memory at large D."""
-    from ..lattices.kagome import num_message_sites
-
     plan = single_layer_plan(to_message_plan(N, D, chi, chi_msg, int(toward)))
     cells = (
         tuple(cell._tensors) if hasattr(cell, "_tensors")
@@ -224,7 +230,4 @@ def outgoing_message_single(
                  if int(s) != int(toward)}
     raw = execute_plan(plan, _make_fetch(None, msg_sites, kets=cells))
     assert isinstance(raw, MPS)
-    out = finalize_outgoing(raw, plan, num_message_sites(N))
-    out = mpslib.compress(out, chi_msg)
-    out = mpslib.pad_bonds(out, message_bond_profile(N, D, chi_msg))
-    return MPS(out.sites, jnp.zeros_like(out.logscale))
+    return message_postprocess(raw, plan, N, D, chi_msg)

@@ -243,14 +243,7 @@ def edge_environment_sites(cells, msg_sites, N: int, chi: int, chi_msg: int,
     assert geo.chain[i1 + 1] == n2, "pair must be chain-adjacent"
 
     fused = tuple(fused_tensor(c) for c in cells)
-
-    def fetch_plan(source):
-        if source[0] == "lat":
-            return fused[source[1] % len(fused)]
-        if source[0] == "ket":  # raw [d, v0..v3]; executor moves d last
-            return cells[source[1] % len(cells)]
-        _, side, k = source
-        return msg_sites[side][k]
+    fetch_plan = C._make_fetch(fused, msg_sites, kets=tuple(cells))
 
     from ..ops.contract import execute_plan
 

@@ -61,19 +61,14 @@ def _one_outgoing(tensors, msg_sites: MsgSites, N, D, chi, chi_msg, toward: int,
 
     single=True → single-layer swallowing (`tensors` are raw ket tensors,
     not fused double-layer ones; reference bubblecon.py:1855)."""
-    from ..lattices.kagome import num_message_sites
-
     plan = C.to_message_plan(N, D, chi, chi_msg, toward)
     if single:
         plan = C.single_layer_plan(plan)
         fetch = C._make_fetch(None, msg_sites, kets=tuple(tensors))
     else:
         fetch = _make_fetch(tensors, msg_sites)
-    out = execute_plan(plan, fetch)
-    out = C.finalize_outgoing(out, plan, num_message_sites(N))
-    out = mpslib.compress(out, chi_msg)
-    out = mpslib.pad_bonds(out, message_bond_profile(N, D, chi_msg))
-    return MPS(out.sites, jnp.zeros_like(out.logscale))
+    raw = execute_plan(plan, fetch)
+    return C.message_postprocess(raw, plan, N, D, chi_msg)
 
 
 # --------------------------- fused BP iteration ----------------------------

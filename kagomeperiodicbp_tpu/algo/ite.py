@@ -136,13 +136,15 @@ class ITETracker:
 
     def revert_back(self, n: int = 1) -> UnitCell:
         """Drop the last `n` logged segments and return the unit cell as of
-        the new head (reference: _ite_tracker.py:130 `revert_back`). Raises
-        if the in-memory cell history doesn't reach that far."""
-        if n >= len(self.cells):
+        the new head (reference: _ite_tracker.py:130 `revert_back`). n=0 is
+        a no-op returning the current head cell. Raises if the in-memory
+        cell history doesn't reach that far."""
+        if n < 0 or n >= len(self.cells):
             raise ValueError(
                 f"cannot revert {n} segments: only {len(self.cells)} cells in history"
             )
-        del self.delta_ts[-n:], self.energies[-n:], self.stats[-n:], self.cells[-n:]
+        if n > 0:
+            del self.delta_ts[-n:], self.energies[-n:], self.stats[-n:], self.cells[-n:]
         arrs = self.cells[-1]
         return UnitCell(*(jnp.asarray(arrs[k]) for k in ("A", "B", "C")))
 
@@ -356,6 +358,11 @@ def full_ite(
             seg.global_field = field_val
             h = config.hamiltonian(field_val)
         cell_backup = cell  # pre-segment state for rollback on ITEError
+        # per-segment working BP config/chi: hardening after a struggling BP
+        # applies for the rest of the segment unconditionally (reference
+        # main.py:533 mutates the per-segment config copy); the keep flag
+        # only controls persistence across segments
+        bp_seg, chi_seg = bp_config, chi
         try:
             if config.start_segment_with_new_bp_message:
                 messages = None
@@ -380,15 +387,15 @@ def full_ite(
                 for edge, dt_edge in edge_order:
                     mode_bar.next(extra_str=str(edge))
                     if config.bp_every_edge or messages is None:
-                        messages, bst = robust_belief_propagation(cell, messages, bp_config, N)
+                        messages, bst = robust_belief_propagation(cell, messages, bp_seg, N)
                         seg.bp_stats.append(bst)
-                        bp_hard, chi_hard = _harden_bp_config_if_struggled(
-                            bp_config, chi, bst, log
+                        bp_seg, chi_seg = _harden_bp_config_if_struggled(
+                            bp_seg, chi_seg, bst, log
                         )
                         if config.keep_harder_bp_config_between_segments:
-                            bp_config, chi = bp_hard, chi_hard
+                            bp_config, chi = bp_seg, chi_seg
                     cell, energy, _ = ite_update_edge(
-                        cell, messages, N, chi, bp_config.trunc_dim, edge, h, dt_edge, config
+                        cell, messages, N, chi_seg, bp_seg.trunc_dim, edge, h, dt_edge, config
                     )
                     seg.edge_energies[str(edge)] = energy
 
@@ -410,12 +417,12 @@ def full_ite(
 
                 n_m = measurement_N or N
                 bp_m = _dc.replace(
-                    bp_config,
-                    trunc_dim=int(bp_config.trunc_dim * measurement_chi_factor),
-                    msg_diff_terminate=bp_config.msg_diff_terminate / 2,
-                    allowed_retries=bp_config.allowed_retries + 1,
+                    bp_seg,
+                    trunc_dim=int(bp_seg.trunc_dim * measurement_chi_factor),
+                    msg_diff_terminate=bp_seg.msg_diff_terminate / 2,
+                    allowed_retries=bp_seg.allowed_retries + 1,
                 )
-                chi_m = int(chi * measurement_chi_factor)
+                chi_m = int(chi_seg * measurement_chi_factor)
                 cell_m = cell.force_zero_rotation()
                 messages_m, bst = robust_belief_propagation(cell_m, None, bp_m, n_m)
                 # measure with the field OFF (reference: the field func is

@@ -55,6 +55,7 @@ def sandwich_expectation(
     operator: np.ndarray,
     flavor: int = 0,
     force_real: bool = False,
+    _shared=None,
 ):
     """⟨op⟩ at a central site of `flavor` by fully contracting the operator
     sandwich — the reference's `_sandwich_with_operator_and_contract_fully` +
@@ -63,18 +64,18 @@ def sandwich_expectation(
     ket–op–bra sandwich, denominator = the plain TN norm, both with
     mantissa/log separation so the ratio never under/overflows. The message
     log-scales cancel in the ratio. Independent of the RDM path — used to
-    cross-check it (tests/test_measurements_sandwich.py)."""
-    import jax.numpy as jnp
+    cross-check it (tests/test_measurements_sandwich.py).
 
-    from ..lattices import BlockSide
+    `_shared`: internal cache from `_sandwich_shared` so batch callers
+    (measure_xyz_sandwich) compute the denominator/fused tensors once."""
     from ..networks.unit_cell import fused_tensor_with_operator
     from ..ops.contract import execute_plan
     from ..utils.jaxtools import to_complex_scalar
-    from . import contraction as C
 
-    D = cell.D
-    plan = C.full_scalar_plan(N, D, chi, chi_msg)
-    graph = C._graph_for(N, D, chi_msg, tuple(int(s) for s in BlockSide))
+    sh = _shared or _sandwich_shared(cell, messages, N, chi, chi_msg)
+    plan, graph, fused, msg_sites, den = (
+        sh["plan"], sh["graph"], sh["fused"], sh["msg_sites"], sh["den"]
+    )
 
     lat_nodes = [n for n in graph.nodes if n.source[0] == "lat"]
     mine = [n for n in lat_nodes if n.source[1] % 3 == flavor % 3]
@@ -82,35 +83,53 @@ def sandwich_expectation(
     node = min(mine, key=lambda n: (n.pos[0] - cx[0]) ** 2 + (n.pos[1] - cx[1]) ** 2)
     target_idx = node.source[1]
 
-    fused = C.fused_cells(cell)
     t = (cell.A, cell.B, cell.C)[flavor % 3]
     f_op = fused_tensor_with_operator(t, operator)
-    msg_sites = {int(s): tuple(m.sites) for s, m in messages.items()}
 
-    def fetch(source, _op_at=target_idx):
+    def fetch(source):
         if source[0] == "lat":
-            if source[1] == _op_at:
+            if source[1] == target_idx:
                 return f_op
             return fused[source[1] % 3]
         _, side, k = source
         return msg_sites[side][k]
 
     num_m, num_l = execute_plan(plan, fetch)
-    den_m, den_l = execute_plan(plan, lambda s: fetch(s, _op_at=-1))
+    den_m, den_l = den
     ratio = to_complex_scalar(num_m) / to_complex_scalar(den_m)
     val = ratio * float(np.exp(float(num_l - den_l)))
     return float(val.real) if force_real else val
+
+
+def _sandwich_shared(cell, messages, N, chi, chi_msg):
+    """Plan/graph/fused tensors + the (operator-independent) denominator,
+    computed once per (cell, messages) for a batch of sandwich calls."""
+    from ..lattices import BlockSide
+    from ..ops.contract import execute_plan
+    from . import contraction as C
+
+    D = cell.D
+    plan = C.full_scalar_plan(N, D, chi, chi_msg)
+    graph = C._graph_for(N, D, chi_msg, tuple(int(s) for s in BlockSide))
+    fused = C.fused_cells(cell)
+    msg_sites = {int(s): tuple(m.sites) for s, m in messages.items()}
+    den = execute_plan(plan, C._make_fetch(fused, msg_sites))
+    return {"plan": plan, "graph": graph, "fused": fused,
+            "msg_sites": msg_sites, "den": den}
 
 
 def measure_xyz_sandwich(
     cell: UnitCell, messages: MessageDict, N: int, chi: int, chi_msg: int
 ) -> Dict[str, Dict[str, complex]]:
     """Per-flavor ⟨x/y/z⟩ via the full-sandwich path (reference:
-    measurements.py:579 `measure_xyz` uses the sandwich per core node)."""
+    measurements.py:579 `measure_xyz` uses the sandwich per core node).
+    One denominator contraction serves all 9 numerators."""
+    shared = _sandwich_shared(cell, messages, N, chi, chi_msg)
     out: Dict[str, Dict[str, complex]] = {}
     for f, name in enumerate("ABC"):
         out[name] = {
-            k: sandwich_expectation(cell, messages, N, chi, chi_msg, pauli.ALL[k], f)
+            k: sandwich_expectation(cell, messages, N, chi, chi_msg,
+                                    pauli.ALL[k], f, _shared=shared)
             for k in "xyz"
         }
     return out

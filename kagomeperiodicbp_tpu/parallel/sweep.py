@@ -60,14 +60,18 @@ def _child_init(platform: Optional[str]) -> None:
 
 
 def _guarded(worker: Callable[[SweepPoint], Dict[str, Any]], pt: SweepPoint) -> Dict[str, Any]:
+    t0 = time.time()
     try:
-        return {"status": "ok", "out": worker(pt)}
+        out = {"status": "ok", "out": worker(pt)}
     except Exception as exc:  # noqa: BLE001 — sweep must survive bad points
-        return {
+        out = {
             "status": f"error: {type(exc).__name__}",
             "out": {"error": str(exc)},
             "traceback": traceback.format_exc(limit=2),
         }
+    # measured inside the worker process: actual runtime, not queue wait
+    out["exec_time"] = time.time() - t0
+    return out
 
 
 def run_sweep(
@@ -97,31 +101,26 @@ def run_sweep(
         import multiprocessing as mp
 
         ctx = mp.get_context("spawn")
-        t_start = [0.0] * len(points)
         with cf.ProcessPoolExecutor(
             max_workers=n_workers, mp_context=ctx,
             initializer=_child_init, initargs=(child_platform,),
         ) as pool:
-            futures = {}
-            for i, pt in enumerate(points):
-                t_start[i] = time.time()
-                futures[pool.submit(_guarded, worker, pt)] = i
+            futures = {pool.submit(_guarded, worker, pt): i
+                       for i, pt in enumerate(points)}
             ordered: List[Optional[Dict[str, Any]]] = [None] * len(points)
-            times = [0.0] * len(points)
             for fut in cf.as_completed(futures):
                 i = futures[fut]
-                times[i] = time.time() - t_start[i]
                 try:
                     ordered[i] = fut.result()
                 except Exception as exc:  # noqa: BLE001 — child died hard
                     ordered[i] = {"status": f"error: {type(exc).__name__}",
-                                  "out": {"error": str(exc)}}
+                                  "out": {"error": str(exc)}, "exec_time": 0.0}
         for i, pt in enumerate(points):
-            res = ordered[i] or {"status": "error: lost", "out": {}}
+            res = ordered[i] or {"status": "error: lost", "out": {}, "exec_time": 0.0}
             row = pt.as_dict()
             row["status"] = res["status"]
             row["result"] = json.dumps(res["out"], default=str)
-            row["exec_time"] = round(times[i], 3)
+            row["exec_time"] = round(res.get("exec_time", 0.0), 3)
             csvm.append(row)
             results.append(res["out"])
         return results
@@ -129,7 +128,6 @@ def run_sweep(
     import jax
 
     for i, pt in enumerate(points):
-        t0 = time.time()
         row = pt.as_dict()
         if devices:
             with jax.default_device(devices[i % len(devices)]):
@@ -138,7 +136,7 @@ def run_sweep(
             res = _guarded(worker, pt)
         row["status"] = res["status"]
         row["result"] = json.dumps(res["out"], default=str)
-        row["exec_time"] = round(time.time() - t0, 3)
+        row["exec_time"] = round(res.get("exec_time", 0.0), 3)
         csvm.append(row)
         results.append(res["out"])
     return results

@@ -103,25 +103,14 @@ def _tile_fetch(cell: Sequence[Sequence[jnp.ndarray]], n: int,
 
 def outgoing_message(cell, n: int, D: int, messages: MessageDict, chi: int,
                      chi_msg: int, toward: SquareSide) -> MPS:
+    from ..algo.contraction import finalize_outgoing
+
     plan = message_plan(n, D, chi, chi_msg, int(toward))
     msg_sites = {int(s): tuple(m.sites) for s, m in messages.items()
                  if int(s) != int(toward)}
     raw = execute_plan(plan, _tile_fetch(cell, n, msg_sites))
     assert isinstance(raw, MPS)
-    sites = list(raw.sites)
-    # fold dim-1 corner ends (same convention as the Kagome finalize)
-    while len(sites) > n:
-        if sites[0].shape[1] == 1:
-            mcorner = sites[0].reshape(sites[0].shape[0], sites[0].shape[2])
-            sites[1] = jnp.einsum("ab,bpc->apc", mcorner, sites[1])
-            sites = sites[1:]
-        elif sites[-1].shape[1] == 1:
-            mcorner = sites[-1].reshape(sites[-1].shape[0], sites[-1].shape[2])
-            sites[-2] = jnp.einsum("apb,bc->apc", sites[-2], mcorner)
-            sites = sites[:-1]
-        else:
-            raise AssertionError("unexpected non-trivial extra message site")
-    out = MPS(tuple(sites), raw.logscale)
+    out = finalize_outgoing(raw, plan, n)  # folds dim-1 corner ends
     out = mpslib.compress(out, chi_msg)
     out = mpslib.pad_bonds(out, square_message_profile(n, D, chi_msg))
     return MPS(out.sites, jnp.zeros_like(out.logscale))

@@ -48,6 +48,10 @@ def _scan_log(path: str) -> Optional[LogRecord]:
                 n += 1
                 e = float(em.group(1))
                 best = e if best is None else min(best, e)
+            bm = _BEST_RE.search(line)  # running best=… lines count too
+            if bm:
+                e = float(bm.group(1))
+                best = e if best is None else min(best, e)
     if best is None:
         return None
     return LogRecord(D=D, best_energy=best, path=path, segments=n)
