@@ -117,6 +117,23 @@ class UnitCell:
             uc = uc.rotate_ccw()
         return uc.replace(rotated=0)
 
+    def pad_to(self, D: int, noise_fraction: float = 1e-3, key=None) -> "UnitCell":
+        """Embed into a larger bond dimension: zero-pad every virtual leg to
+        `D` and add a small noise kick so the new bond directions are live.
+        The standard bond-dimension-annealing warm start: a converged D
+        state seeds the D+1 optimization (no reference analog — their runs
+        restart per D from random/best-of-same-D)."""
+        if D < self.D:
+            raise ValueError(f"pad_to({D}) below current D={self.D}")
+        if D == self.D:
+            return self
+        new = {}
+        for f, t in self.items():
+            out = jnp.zeros((t.shape[0],) + (D,) * 4, t.dtype)
+            new[f] = out.at[:, : t.shape[1], : t.shape[2], : t.shape[3], : t.shape[4]].set(t)
+        cell = UnitCell(new["A"], new["B"], new["C"], rotated=self.rotated)
+        return cell.add_noise(noise_fraction, key=key) if noise_fraction else cell
+
     def add_noise(self, fraction: float, key=None) -> "UnitCell":
         """Gaussian noise scaled by `fraction`·‖T‖ per tensor
         (reference: definition.py:166)."""

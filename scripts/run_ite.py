@@ -123,6 +123,17 @@ def main(argv=None):
             raise SystemExit(f"no best-store record for D={args.D}")
         cell = rec[0].astype(dtype)
         log.info("warm start from best store: energy=%.10f", rec[1])
+    elif args.cell.startswith("pad:"):
+        # bond-dimension annealing: best cell of a smaller D, zero-padded
+        from kagomeperiodicbp_tpu.utils.best_store import load_best
+
+        d_src = int(args.cell.split(":", 1)[1])
+        rec = load_best(d_src)
+        if rec is None:
+            raise SystemExit(f"no best-store record for D={d_src}")
+        cell = rec[0].astype(dtype).pad_to(args.D, key=jax.random.PRNGKey(args.seed))
+        log.info("warm start: D=%d best (energy=%.10f) padded to D=%d",
+                 d_src, rec[1], args.D)
     elif args.cell not in ("random",):
         cell = UnitCell.load(args.cell)
     # the central config tree (reference: Config.derive_from_dimensions,
