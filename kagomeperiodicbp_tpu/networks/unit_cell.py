@@ -117,12 +117,19 @@ class UnitCell:
             uc = uc.rotate_ccw()
         return uc.replace(rotated=0)
 
-    def pad_to(self, D: int, noise_fraction: float = 1e-3, key=None) -> "UnitCell":
+    def pad_to(self, D: int, noise_fraction: float = 0.03, key=None) -> "UnitCell":
         """Embed into a larger bond dimension: zero-pad every virtual leg to
-        `D` and add a small noise kick so the new bond directions are live.
+        `D` and add a noise kick so the new bond directions are live.
         The standard bond-dimension-annealing warm start: a converged D
         state seeds the D+1 optimization (no reference analog — their runs
-        restart per D from random/best-of-same-D)."""
+        restart per D from random/best-of-same-D).
+
+        `noise_fraction` must be large enough to make every bond genuinely
+        full-rank: with near-zero weight in the padded directions the ALS
+        environment metric is near-singular and a sweep of edge updates can
+        silently destroy true-state weight the local environment cannot see
+        (measured: 1e-3 noise collapses −0.395 → −0.10 within two sweeps;
+        0.03–0.1 is stable and recovers the energy)."""
         if D < self.D:
             raise ValueError(f"pad_to({D}) below current D={self.D}")
         if D == self.D:

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 
 PINV_RTOL = 1e-10  # reference PINV_THRESH (libs/ITE.py:97-ish constants)
-ROBUST_FACTOR = 1e8
+# (legacy Tikhonov-fallback factor removed with the spectral robust_solve)
 
 
 def rtol_for(dtype) -> float:
@@ -95,21 +95,26 @@ def svd_trunc_auto(a: jnp.ndarray, k: int):
 
 
 def robust_solve(n_mat: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve N x = b with Tikhonov fallback when N is near-singular.
+    """Minimal-norm least-squares solve of the Hermitian-PSD system N x = b
+    via spectral projection: components of b along near-null eigendirections
+    are DROPPED, not Tikhonov-amplified.
 
-    jit-safe version of the reference's try/except escalation
-    (libs/ITE.py:1452 `robust_solve`): always solve both the raw and the
-    regularised system and select by a finite/size check.
+    Replaces the reference's try/except escalation (libs/ITE.py:1452
+    `robust_solve`) with something strictly safer for ALS: the environment
+    Gram matrix N is rank-deficient whenever the state doesn't span the
+    full bond space (e.g. a D_small state zero-padded into a larger D —
+    UnitCell.pad_to). A Tikhonov solve fills the null space with
+    b_null/ε junk that the *current* environment can't see but that
+    poisons every subsequent edge update; the spectral pseudo-solve keeps
+    the update inside the physically-supported subspace.
     """
-    norm_n = jnp.linalg.norm(n_mat, ord=2)
-    eye = jnp.eye(n_mat.shape[0], dtype=n_mat.dtype)
-    rtol = rtol_for(n_mat.dtype)
-    x0 = jnp.linalg.solve(n_mat, b)
-    x1 = jnp.linalg.solve(n_mat + eye * (rtol * norm_n), b)
-    bad = ~jnp.isfinite(jnp.linalg.norm(x0)) | (
-        jnp.linalg.norm(x0) > ROBUST_FACTOR * jnp.linalg.norm(b) / jnp.maximum(norm_n, 1e-300)
-    )
-    return jnp.where(bad, x1, x0)
+    n_mat = 0.5 * (n_mat + jnp.conj(n_mat.T))
+    w, u = jnp.linalg.eigh(n_mat)
+    wmax = jnp.maximum(w[-1], 1e-300)
+    rtol = max(rtol_for(n_mat.dtype), 1e-14)
+    winv = jnp.where(w > rtol * wmax, 1.0 / jnp.where(w > 0, w, 1.0), 0.0)
+    return u @ (winv.astype(b.dtype)[:, None] * (jnp.conj(u.T) @ b)
+                if b.ndim > 1 else winv.astype(b.dtype) * (jnp.conj(u.T) @ b))
 
 
 def eigh_psd_sqrt(n_mat: jnp.ndarray, rtol: float | None = None):
