@@ -68,7 +68,8 @@ def rsvd_trunc(a: jnp.ndarray, k: int, oversample: int = RSVD_OVERSAMPLE,
     """
     m, n = a.shape
     ell = min(k + oversample, m, n)
-    key = jax.random.fold_in(jax.random.PRNGKey(7), m * 1000003 + n)
+    # fold value must fit uint32 (m·1000003+n overflows for m ≳ 4300)
+    key = jax.random.fold_in(jax.random.PRNGKey(7), (m * 1000003 + n) % (2**31 - 1))
     omega = jax.random.normal(key, (n, ell), dtype=a.real.dtype)
     if jnp.issubdtype(a.dtype, jnp.complexfloating):
         omega = omega.astype(a.dtype)

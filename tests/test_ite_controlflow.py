@@ -178,3 +178,49 @@ def test_measure_every_thins_measurements():
     # segments 0, 3, 6 (every 3rd) + 4 (end of the 1e-2 block); 6 is also
     # the final block end → 4 measurements
     assert len(tracker.energies) == 4
+
+
+def test_pad_to_preserves_state_exactly():
+    """Zero-noise pad: the embedded TN contracts to the identical value."""
+    from kagomeperiodicbp_tpu.algo import contraction as C
+
+    cell = _tiny_cell(0)
+    padded = cell.pad_to(3, noise_fraction=0.0)
+    assert padded.D == 3 and padded.A.shape == (2, 3, 3, 3, 3)
+    # dense-oracle contraction of both networks (exact, cheap at N=2)
+    from kagomeperiodicbp_tpu.lattices import BlockSide
+    from kagomeperiodicbp_tpu.ops import exact
+    from kagomeperiodicbp_tpu.planner.compiler import sweep_order
+
+    def dense_value(c, D):
+        msgs = C.initial_messages(2, D, chi=10**6, model="uniform")
+        graph = C._graph_for(2, D, 10**6, tuple(int(s) for s in BlockSide))
+        fused = [np.asarray(t) for t in C.fused_cells(c)]
+
+        def fetch(src):
+            if src[0] == "lat":
+                return fused[src[1] % 3]
+            _, side, k = src
+            return np.asarray(msgs[BlockSide(side)].sites[k])
+
+        env, ol = exact.contract_dense(graph, fetch, sweep_order(graph, BlockSide.U))
+        assert not ol
+        return complex(env)
+
+    v2 = dense_value(cell, 2)
+    v3 = dense_value(padded, 3)
+    # uniform messages are vec(I_D)/sqrt(D): the padded TN picks up a known
+    # sqrt(3/2) factor per boundary-leg message normalisation — compare the
+    # normalised values
+    import math
+    n_legs = 6 * 3  # 6 sides x 3 boundary sites at N=2
+    np.testing.assert_allclose(v3 * math.sqrt(3 / 2) ** n_legs, v2, rtol=1e-9)
+    # noise=default produces a nearby but different state
+    noisy = cell.pad_to(3)
+    assert float(jnp.linalg.norm(noisy.A - padded.A)) > 1e-4
+
+
+def test_pad_to_rejects_shrinking():
+    cell = _tiny_cell(0, D=3)
+    with pytest.raises(ValueError):
+        cell.pad_to(2)
