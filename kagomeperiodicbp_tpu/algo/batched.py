@@ -190,10 +190,23 @@ def bp_sweep_impl(N: int, D: int, chi: int, chi_msg: int, damped: bool,
 
 
 def _on_axon() -> bool:
+    """True when the experimental axon TPU backend is active.
+
+    NOTE the devices themselves report platform 'tpu' (round-3 finding:
+    ``jax.devices()[0].platform == 'tpu'``, device_kind 'TPU v5 lite', while
+    ``jax.config.jax_platforms == 'axon,...'``) — checking the device
+    platform string alone NEVER detects axon, which silently disabled every
+    axon workaround on real hardware in round 2."""
+    import os
+
     import jax
 
+    plats = "%s,%s" % (getattr(jax.config, "jax_platforms", "") or "",
+                       os.environ.get("JAX_PLATFORMS", ""))
+    if "axon" not in plats:
+        return False
     try:
-        return jax.devices()[0].platform == "axon"
+        return jax.devices()[0].platform in ("axon", "tpu")
     except Exception:
         return False
 

@@ -16,13 +16,18 @@ Re-design of the reference's `belief_propagation` /
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+try:  # backend/runtime failures (remote-compiler poisoning, OOM, tunnel)
+    from jax.errors import JaxRuntimeError as _BackendError
+except ImportError:  # older jax
+    from jaxlib.xla_extension import XlaRuntimeError as _BackendError
 
 from ..lattices import BlockSide
 from ..networks.graph import message_bond_profile
@@ -99,34 +104,6 @@ def _profile_of(m: MPS, chi: int, D: int) -> list:
     return [min(chi, p ** (k + 1), p ** (n - 1 - k)) for k in range(n - 1)]
 
 
-def bp_step(
-    fused, messages: MessageDict, N: int, D: int, chi: int, chi_msg: int
-) -> MessageDict:
-    """One synchronous BP iteration: 6 outgoing messages, wrapped+reversed.
-    (reference: `_belief_propagation_step`, belief_propagation.py:164)"""
-    new: MessageDict = {}
-    for side in BlockSide:
-        out = C.outgoing_message(fused, messages, N, D, chi, chi_msg, toward=side)
-        new[side.opposite()] = out.reverse()
-    return new
-
-
-def bp_error(old: MessageDict, new: MessageDict) -> float:
-    """Mean MPS distance across the 6 sides (belief_propagation.py:44)."""
-    dists = [float(mpslib.distance(old[s], new[s])) for s in BlockSide]
-    return float(np.mean(dists))
-
-
-def _damp(old: MessageDict, new: MessageDict, d: float, chi: int, D: int) -> MessageDict:
-    res = {}
-    for s in BlockSide:
-        mixed = mpslib.add(new[s], old[s], 1.0 - d, d)
-        mixed = mpslib.compress(mixed, chi)
-        mixed = mpslib.pad_bonds(mixed, _profile_of(new[s], chi, D))
-        res[s] = MPS(mixed.sites, jnp.zeros_like(mixed.logscale))
-    return res
-
-
 def belief_propagation(
     cell: UnitCell,
     messages: Optional[MessageDict],
@@ -190,12 +167,17 @@ def belief_propagation(
         try:
             msg_sites, err_arr = step_fn(fused, prev_sites)
             err = float(err_arr)
-        except Exception:
+        except _BackendError as exc:
             if not use_batched:
                 raise
-            # batched program failed on this backend — fall back to the six
-            # per-side programs and redo the iteration from the pre-step
-            # messages (the failed step's outputs may be poisoned)
+            # batched program failed on this backend (a known axon miscompile
+            # mode) — fall back to the six per-side programs and redo the
+            # iteration from the pre-step messages (the failed step's outputs
+            # may be poisoned). Only backend/runtime errors are caught: a
+            # genuine bug in the batched path must surface, not be masked.
+            logging.getLogger("bp").warning(
+                "batched BP program failed (%s) — falling back to per-side programs",
+                repr(exc)[:120])
             use_batched = False
             step_fn = F.bp_iteration(N, D, chi, chi_msg, config.damping)
             msg_sites, err_arr = step_fn(fused, prev_sites)

@@ -75,17 +75,68 @@ def _one_outgoing(tensors, msg_sites: MsgSites, N, D, chi, chi_msg, toward: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _one_side_outgoing_jit(N: int, D: int, chi: int, chi_msg: int,
+                           toward: int, single: bool):
+    """jitted (fused, msg_sites) → (wrapped_sites, logscale): the outgoing
+    message of one side, wrapped.  The distance is deliberately NOT in this
+    program — see _one_side_update."""
+
+    def impl(fused, msg_sites: MsgSites):
+        out = _one_outgoing(fused, msg_sites, N, D, chi, chi_msg, toward,
+                            single=single)
+        wrapped = out.reverse()
+        return tuple(wrapped.sites), wrapped.logscale
+
+    return resilient_jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _distance_parts_jit():
+    """jitted (old_sites, new_sites, new_log) → (r0, lr) distance parts."""
+
+    def impl(old_sites, new_sites, new_log):
+        old = MPS(tuple(old_sites), jnp.zeros((), new_log.dtype))
+        new = MPS(tuple(new_sites), new_log)
+        ab, lab = mpslib.inner(old, new)
+        aa, laa = mpslib.inner(old, old)
+        bb, lbb = mpslib.inner(new, new)
+        r0 = jnp.abs(ab) / jnp.sqrt(jnp.abs(aa) * jnp.abs(bb))
+        lr = lab - 0.5 * (laa + lbb)
+        return r0, lr
+
+    return resilient_jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
 def _one_side_update(N: int, D: int, chi: int, chi_msg: int,
                      damped: bool, toward: int, single: bool = False):
-    """jitted (fused, msg_sites[, damping]) → (wrapped_sites, distance) for
-    one side. Damping is *data* (a traced scalar), so its strength can change
+    """(fused, msg_sites[, damping]) → (wrapped_sites, r0, lr) for one side.
+    Damping is *data* (a traced scalar), so its strength can change
     mid-run without recompiling; only damped-vs-undamped selects between two
     program variants (the undamped one skips a compress sweep entirely).
 
     Kept per-side (rather than one 6-side program) deliberately: the
     experimental axon compiler miscompiles very large programs into
     executables that fail with UNIMPLEMENTED at run time; programs of this
-    size are verified good."""
+    size are verified good.
+
+    On axon the (undamped) work is further split into TWO programs —
+    outgoing contraction, then distance parts: combining the message plan
+    and the three inner-product ladders in one program reliably miscompiles
+    there (round-3 bisect), while each half executes correctly."""
+    from .batched import _on_axon
+
+    if _on_axon() and not damped:
+        out_fn = _one_side_outgoing_jit(N, D, chi, chi_msg, toward, single)
+        parts_fn = _distance_parts_jit()
+        tgt = int(BlockSide(toward).opposite())
+
+        def split_call(fused, msg_sites: MsgSites):
+            new_sites, new_log = out_fn(fused, msg_sites)
+            r0, lr = parts_fn(msg_sites[tgt], new_sites, new_log)
+            return new_sites, r0, lr
+
+        return split_call
 
     def impl(fused, msg_sites: MsgSites, damping=None):
         out = _one_outgoing(fused, msg_sites, N, D, chi, chi_msg, toward,
@@ -93,14 +144,35 @@ def _one_side_update(N: int, D: int, chi: int, chi_msg: int,
         wrapped = out.reverse()
         tgt = int(BlockSide(toward).opposite())
         old = MPS(tuple(msg_sites[tgt]), jnp.zeros_like(wrapped.logscale))
-        dist = jnp.real(mpslib.distance(old, wrapped))
+        # message distance, SPLIT: the mantissa ratio r0 and log ratio lr are
+        # computed here, but the final 1 − r0·exp(lr) lives in a separate
+        # tiny program (_combine_distances).  The axon remote compiler
+        # deterministically miscompiles exp() applied to a ladder-accumulated
+        # log chain inside a larger program (UNIMPLEMENTED at run time,
+        # bisected round 3); exp of a plain scalar input is fine.
+        ab, lab = mpslib.inner(old, wrapped)
+        aa, laa = mpslib.inner(old, old)
+        bb, lbb = mpslib.inner(wrapped, wrapped)
+        r0 = jnp.abs(ab) / jnp.sqrt(jnp.abs(aa) * jnp.abs(bb))
+        lr = lab - 0.5 * (laa + lbb)
         if damped:
             d = jnp.asarray(damping, wrapped.logscale.dtype)
             mixed = mpslib.add(wrapped, old, 1.0 - d, d)
             mixed = mpslib.compress(mixed, chi_msg)
             mixed = mpslib.pad_bonds(mixed, message_bond_profile(N, D, chi_msg))
             wrapped = MPS(mixed.sites, jnp.zeros_like(mixed.logscale))
-        return tuple(wrapped.sites), dist
+        return tuple(wrapped.sites), r0, lr
+
+    return resilient_jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _combine_distances():
+    """jitted (r0[6], lr[6]) → mean message distance.  Tiny on purpose: see
+    the exp-miscompile note in _one_side_update."""
+
+    def impl(r0s, lrs):
+        return jnp.mean(1.0 - r0s * jnp.exp(lrs))
 
     return resilient_jit(impl)
 
@@ -120,15 +192,16 @@ def bp_iteration(N: int, D: int, chi: int, chi_msg: int, damping: Optional[float
     def run(fused, msg_sites: MsgSites, damping_value: Optional[float] = None):
         d = damping_value if damping_value is not None else (damping or 0.0)
         new: MsgSites = {}
-        dists = []
+        r0s, lrs = [], []
         for side in BlockSide:
             if damped:
-                wrapped, dist = fns[int(side)](fused, msg_sites, d)
+                wrapped, r0, lr = fns[int(side)](fused, msg_sites, d)
             else:
-                wrapped, dist = fns[int(side)](fused, msg_sites)
+                wrapped, r0, lr = fns[int(side)](fused, msg_sites)
             new[int(side.opposite())] = wrapped
-            dists.append(dist)
-        err = jnp.mean(jnp.stack(dists))
+            r0s.append(r0)
+            lrs.append(lr)
+        err = _combine_distances()(jnp.stack(r0s), jnp.stack(lrs))
         return new, err
 
     return run

@@ -24,8 +24,6 @@ import numpy as np
 from ..enums import UpdateEdge, UpdateMode
 from ..utils.jaxtools import to_numpy as _to_numpy
 from ..networks.unit_cell import UnitCell
-from ..ops import ite_kernels as K
-from . import edge_env as E
 from .bp import BPConfig, BPStats, robust_belief_propagation
 from .contraction import MessageDict
 from .measurements import MeasurementsOnUnitCell, measure_energies_and_observables

@@ -12,9 +12,7 @@ import numpy as np
 
 from ..enums import UpdateEdge
 from ..networks.unit_cell import UnitCell
-from ..ops import ite_kernels as K
 from ..physics import metrics, pauli
-from . import edge_env as E
 from .contraction import MessageDict
 
 

@@ -94,6 +94,25 @@ class UnitCell:
         return UnitCell(uc.A, uc.A, uc.A)
 
     @staticmethod
+    def product_state_120(d: int, D: int, chirality: int = +1,
+                          dtype=jnp.complex128) -> "UnitCell":
+        """q=0 120° Néel order: spin-coherent product state with the three
+        sublattice spins coplanar (xz-plane here; any plane is equivalent
+        under the Heisenberg SU(2) symmetry) at mutual 120° angles — the
+        classical order underlying the reference's best-store basins (the
+        3-site periodic cell can only represent the q=0 member of the
+        kagome 120° family).  chirality=±1 picks the A→B→C winding."""
+        assert d == 2, "spin coherent states are defined for d=2"
+        ts = []
+        for k in range(3):
+            alpha = chirality * 2.0 * np.pi / 3.0 * k
+            t = np.zeros((d, D, D, D, D))
+            t[0, 0, 0, 0, 0] = np.cos(alpha / 2.0)
+            t[1, 0, 0, 0, 0] = np.sin(alpha / 2.0)
+            ts.append(jnp.asarray(t, dtype))
+        return UnitCell(*ts)
+
+    @staticmethod
     def zero_product_state(d: int, D: int, dtype=jnp.complex128) -> "UnitCell":
         """|0…0⟩: tensor nonzero only at physical index 0, virtual (0,0,0,0)."""
         t = np.zeros((d, D, D, D, D))

@@ -255,9 +255,14 @@ def add(a: MPS, b: MPS, wa=1.0, wb=1.0) -> MPS:
     Both MPSs are first brought to a common logscale.
     """
     assert a.n == b.n
-    common = jnp.maximum(a.logscale, b.logscale)
-    a = a.scale_to(common)
-    b = b.scale_to(common)
+    common = a.logscale
+    if a.logscale is not b.logscale:
+        # skip when both share the SAME logscale array (e.g. hermitize's
+        # m ± m†): no rescale is needed, and the skipped exp(Δlog) avoids the
+        # axon exp-of-log-chain miscompile (see fused._one_side_update)
+        common = jnp.maximum(a.logscale, b.logscale)
+        a = a.scale_to(common)
+        b = b.scale_to(common)
     sites = []
     n = a.n
     for i in range(n):

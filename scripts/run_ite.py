@@ -38,9 +38,13 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None, help="total segments (overrides ladder)")
     p.add_argument("--steps-per-dt", type=int, default=20)
     p.add_argument("--cell", default="random",
-                   help="random | product | zero | su | best | <path.pkl> "
+                   help="random | product | zero | q0 | q0- | su | best | <path.pkl> "
                         "(su = simple-update warm start, reference unit_cell_from='tnsu'; "
+                        "q0/q0- = 120-degree q=0 product order, either chirality; "
                         "best = current best-store record for this D)")
+    p.add_argument("--init-noise", type=float, default=0.02,
+                   help="noise fraction added to structured inits (q0/zero) "
+                        "so virtual bonds start full-rank")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--damping", type=float, default=None)
     p.add_argument("--bp-every-edge", action="store_true")
@@ -66,6 +70,9 @@ def main(argv=None):
                    help="hierarchical progress bars on stderr")
     p.add_argument("--measure-every", type=int, default=1,
                    help="measure every K segments (block ends always measured)")
+    p.add_argument("--no-best-store", action="store_true",
+                   help="do not write the best store (diagnostics / runs "
+                        "seeded from reference-derived cells)")
     args = p.parse_args(argv)
 
     import jax
@@ -109,6 +116,13 @@ def main(argv=None):
         cell = UnitCell.random_product_state(args.d, args.D, jax.random.PRNGKey(args.seed), dtype)
     elif args.cell == "zero":
         cell = UnitCell.zero_product_state(args.d, args.D, dtype)
+        if args.init_noise:
+            cell = cell.add_noise(args.init_noise, key=jax.random.PRNGKey(args.seed))
+    elif args.cell in ("q0", "q0-"):
+        cell = UnitCell.product_state_120(
+            args.d, args.D, chirality=+1 if args.cell == "q0" else -1, dtype=dtype)
+        if args.init_noise:
+            cell = cell.add_noise(args.init_noise, key=jax.random.PRNGKey(args.seed))
     elif args.cell == "su":
         from kagomeperiodicbp_tpu.algo.simple_update import simple_update
 
@@ -168,7 +182,7 @@ def main(argv=None):
         measurement_N=args.measure_n or args.N + 1,
         measurement_chi_factor=args.measure_chi_factor,
         measure_every=args.measure_every,
-        save_best_store=True,
+        save_best_store=not args.no_best_store,
         plots=_make_plots(args, ham),
         progress=config.visuals.progress_hierarchy(),
     )
