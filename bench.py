@@ -83,6 +83,11 @@ def _probe(seconds: int = 75) -> None:
 
 
 def main():
+    # fail over to eager execution quickly when the backend poisons every
+    # compile (jaxtools.resilient_jit degraded-weather tier): 2 fresh
+    # compiles, then a real — if slow — eager measurement beats emitting 0.0
+    os.environ.setdefault("KPBP_JIT_RETRIES", "2")
+
     import jax
     import jax.numpy as jnp
 
@@ -101,11 +106,14 @@ def main():
     step = F.bp_iteration(N, D, CHI, CHI, None)
     sites = F._msgs_to_sites(msgs)
 
-    # warmup/compile (validates the executable — resilient_jit retries inside)
+    # warmup/compile (validates the executable — resilient_jit retries inside,
+    # then falls back to eager execution if every compile is poisoned)
     sites, err = step(fused, sites)
     jax.block_until_ready(err)
 
-    n_sweeps = 20
+    from kagomeperiodicbp_tpu.utils.jaxtools import EAGER_EVENTS
+
+    n_sweeps = 4 if EAGER_EVENTS else 20
     t0 = time.perf_counter()
     for _ in range(n_sweeps):
         sites, err = step(fused, sites)
@@ -118,26 +126,68 @@ def main():
         "unit": "sweeps/s",
         "vs_baseline": round(_baseline_seconds() / dt, 3),
         "backend": jax.devices()[0].platform,
+        "mode": "eager-fallback" if EAGER_EVENTS else "jit",
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
-    with open(LAST_GOOD, "w") as f:
-        json.dump(rec, f)
+    # an eager-fallback record must not shadow a previous full-speed jit
+    # record in the fallback store (it is still emitted as today's result)
+    keep_existing = False
+    if rec["mode"] == "eager-fallback":
+        try:
+            with open(LAST_GOOD) as f:
+                keep_existing = json.load(f).get("mode", "jit") == "jit"
+        except Exception:
+            pass
+    if not keep_existing:
+        with open(LAST_GOOD, "w") as f:
+            json.dump(rec, f)
     _emit(rec)
 
 
-if __name__ == "__main__":
-    # Watchdog: the axon remote compiler occasionally hangs (not just fails);
-    # a hung bench would leave the driver with no JSON line at all. SIGALRM
-    # converts the hang into the last-good fallback.
-    import signal
+def _parent():
+    """Hard watchdog that a hung backend cannot defeat.
 
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(os.environ.get("KPBP_BENCH_TIMEOUT", "480")))
+    SIGALRM can't interrupt a remote-compile RPC stuck inside C++ (the
+    handler only fires when the interpreter regains control — observed
+    during the round-3 full outage: bench hung >15 min past its alarm).  So
+    the measurement runs in a CHILD process; this parent imports no jax,
+    enforces wall-clock with subprocess timeout + kill, and always emits
+    exactly one JSON line.
+    """
+    import subprocess
+
+    budget = int(os.environ.get("KPBP_BENCH_TIMEOUT", "600"))
+    env = dict(os.environ, KPBP_BENCH_CHILD="1")
     try:
-        main()
-        signal.alarm(0)
-    except (KeyboardInterrupt, SystemExit):
-        raise  # a manual abort must not be recorded as a measurement
-    except Exception as exc:  # noqa: BLE001 — the driver needs ONE JSON line
+        out = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=budget, cwd=ROOT,
+        )
+        for line in out.stdout.splitlines():
+            line = line.strip()
+            if line.startswith('{"metric"'):
+                print(line)
+                return
+        _emit_last_good(f"child produced no JSON; stderr: {out.stderr[-150:]}")
+    except subprocess.TimeoutExpired:
+        _emit_last_good(f"watchdog: child exceeded {budget}s (backend hang)")
+    except Exception as exc:  # noqa: BLE001
         _emit_last_good(repr(exc))
+
+
+if __name__ == "__main__":
+    if os.environ.get("KPBP_BENCH_CHILD") == "1":
+        # in-child alarm still catches the *interruptible* failure modes early
+        import signal
+
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(int(os.environ.get("KPBP_BENCH_TIMEOUT", "600")) - 60)
+        try:
+            main()
+        except (KeyboardInterrupt, SystemExit):
+            raise
+        except Exception as exc:  # noqa: BLE001
+            _emit_last_good(repr(exc))
+    else:
+        _parent()

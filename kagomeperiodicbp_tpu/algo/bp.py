@@ -69,6 +69,20 @@ class BPConfig:
     def chi_bubble(self) -> int:
         return self.bubble_trunc_dim or self.trunc_dim
 
+    def for_measurements(self, chi_factor: float = 2.0) -> "BPConfig":
+        """The measurement-time hardening of a BP config: wider message χ,
+        half the termination threshold, one extra retry.  The single source
+        of truth for the transform — `full_ite`'s measurement pass and
+        `Config.for_measurements` both call it (reference:
+        run_ite.py:49-55 `change_config_for_measurements_func` →
+        main.py:133-151)."""
+        return dataclasses.replace(
+            self,
+            trunc_dim=int(self.trunc_dim * chi_factor),
+            msg_diff_terminate=self.msg_diff_terminate / 2,
+            allowed_retries=self.allowed_retries + 1,
+        )
+
 
 @dataclass
 class BPStats:

@@ -90,6 +90,12 @@ class ITESegmentStats:
     delta_t: float = 0.0
     mean_energy: float = 0.0
     edge_energies: Dict[str, float] = field(default_factory=dict)
+    # per-edge environment health from the last update of each edge this
+    # segment: {"hermicity", "negativity", "sum_eigenvalues"} (the reference
+    # plots these live in its env-health panel, visualizations/ite.py:280)
+    edge_health: Dict[str, dict] = field(default_factory=dict)
+    # per-flavor ⟨x/y/z⟩ at measurement time (core-polarization panel)
+    expectations: Dict[str, Dict[str, float]] = field(default_factory=dict)
     bp_stats: List[BPStats] = field(default_factory=list)
     modes_order: List[UpdateMode] = field(default_factory=list)
     global_field: float = 0.0
@@ -392,10 +398,11 @@ def full_ite(
                         )
                         if config.keep_harder_bp_config_between_segments:
                             bp_config, chi = bp_seg, chi_seg
-                    cell, energy, _ = ite_update_edge(
+                    cell, energy, health = ite_update_edge(
                         cell, messages, N, chi_seg, bp_seg.trunc_dim, edge, h, dt_edge, config
                     )
                     seg.edge_energies[str(edge)] = energy
+                    seg.edge_health[str(edge)] = health
 
             # measurement cadence: the reference measures every segment; at
             # large D on one core the (N+1, χ×2) measurement dominates the
@@ -411,15 +418,8 @@ def full_ite(
                 # measurement-time hardening: larger block + wider chi +
                 # tighter BP + one extra retry (reference:
                 # change_config_for_measurements_func, run_ite.py:49-55)
-                import dataclasses as _dc
-
                 n_m = measurement_N or N
-                bp_m = _dc.replace(
-                    bp_seg,
-                    trunc_dim=int(bp_seg.trunc_dim * measurement_chi_factor),
-                    msg_diff_terminate=bp_seg.msg_diff_terminate / 2,
-                    allowed_retries=bp_seg.allowed_retries + 1,
-                )
+                bp_m = bp_seg.for_measurements(measurement_chi_factor)
                 chi_m = int(chi_seg * measurement_chi_factor)
                 cell_m = cell.force_zero_rotation()
                 messages_m, bst = robust_belief_propagation(cell_m, None, bp_m, n_m)
@@ -433,6 +433,7 @@ def full_ite(
                     cell_m, messages_m, n_m, chi_m, bp_m.trunc_dim, h_meas
                 )
                 seg.mean_energy = meas.mean_energy
+                seg.expectations = meas.expectations
                 if meas.mean_energy < block_best[0]:
                     block_best = (meas.mean_energy, cell_m)
                     no_improve = 0

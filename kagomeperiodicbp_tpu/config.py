@@ -96,13 +96,24 @@ class Config:
         return copy.deepcopy(self)
 
     def strengthen(self, factor: float = 1.5) -> "Config":
-        """χ escalation (reference: global_config.py:92)."""
+        """χ escalation (reference: global_config.py:92).  The same
+        escalation applied mid-run by `robust_belief_propagation` (×1.5 per
+        retry) and `full_ite._harden_bp_config_if_struggled`; this is the
+        whole-tree form used when a run is restarted harder."""
         cfg = self.copy()
         cfg.bp = dataclasses.replace(cfg.bp, trunc_dim=int(cfg.bp.trunc_dim * factor) + 1)
         cfg.contraction.trunc_dim = int(self.chi * factor) + 1
         return cfg
 
-    def for_measurements(self) -> "Config":
+    def for_measurements(self, chi_factor: float = 2.0) -> "Config":
+        """The measurement-time config: block N+1, contraction χ×factor and
+        the BPConfig.for_measurements hardening (reference: run_ite.py:49-55
+        → main.py:133-151).  A custom `change_config_for_measurements_func`
+        replaces the default transform entirely."""
         if self.change_config_for_measurements_func is not None:
             return self.change_config_for_measurements_func(self.copy())
-        return self
+        cfg = self.copy()
+        cfg.dims.big_lattice_size += 1
+        cfg.contraction.trunc_dim = int(self.chi * chi_factor)
+        cfg.bp = cfg.bp.for_measurements(chi_factor)
+        return cfg

@@ -64,7 +64,16 @@ def to_complex_scalar(x) -> complex:
     return complex(float(x), 0.0)
 
 
-def resilient_jit(fn, max_retries: int = 4, **jit_kwargs):
+# log of programs that fell back to eager execution this process (bench and
+# diagnostics read this to tag their output honestly)
+EAGER_EVENTS: list = []
+
+
+def _eager_fallback_enabled() -> bool:
+    return os.environ.get("KPBP_EAGER_FALLBACK", "1") != "0"
+
+
+def resilient_jit(fn, max_retries: int | None = None, **jit_kwargs):
     """jax.jit wrapper that survives the experimental axon backend's flaky
     remote compiler: the same program occasionally compiles into an
     executable that fails at run time with UNIMPLEMENTED. On such a failure
@@ -72,10 +81,21 @@ def resilient_jit(fn, max_retries: int = 4, **jit_kwargs):
 
     The first call after each (re)compile is synchronised so the async error
     surfaces here rather than at a later transfer.
+
+    Degraded-weather tier: when every recompile is poisoned (the backend
+    sometimes rejects ALL medium-sized programs for hours while tiny ones
+    run fine), the wrapper permanently switches this program to EAGER
+    execution — hundreds of per-op programs small enough to escape the
+    poisoning. ~100× slower than jitted, ∞× faster than nothing; each
+    switch is logged and recorded in EAGER_EVENTS. Opt out with
+    KPBP_EAGER_FALLBACK=0; retry budget via KPBP_JIT_RETRIES.
     """
     import jax
 
-    state = {"jitted": jax.jit(fn, **jit_kwargs), "validated": False}
+    if max_retries is None:
+        max_retries = int(os.environ.get("KPBP_JIT_RETRIES", "4"))
+    state = {"jitted": jax.jit(fn, **jit_kwargs), "validated": False,
+             "eager": False}
 
     def _probe(out):
         """Actually transfer the smallest output leaf: poisoned executables
@@ -86,6 +106,8 @@ def resilient_jit(fn, max_retries: int = 4, **jit_kwargs):
             to_numpy(min(leaves, key=lambda l: l.size))
 
     def call(*args, **kwargs):
+        if state["eager"]:
+            return fn(*args, **kwargs)
         attempt = 0
         while True:
             try:
@@ -96,12 +118,25 @@ def resilient_jit(fn, max_retries: int = 4, **jit_kwargs):
                     state["validated"] = True
                 return out
             except Exception as exc:  # noqa: BLE001
-                if "UNIMPLEMENTED" not in str(exc) or attempt >= max_retries:
+                if "UNIMPLEMENTED" not in str(exc):
                     raise
+                if attempt >= max_retries:
+                    if not _eager_fallback_enabled():
+                        raise
+                    import logging
+
+                    name = getattr(fn, "__qualname__", repr(fn))
+                    logging.getLogger("kpbp.jaxtools").warning(
+                        "resilient_jit: %d poisoned compiles for %s — "
+                        "switching this program to EAGER execution", attempt + 1, name)
+                    EAGER_EVENTS.append(name)
+                    state["eager"] = True
+                    return fn(*args, **kwargs)
                 attempt += 1
                 # new function identity → fresh compilation-cache entry
                 fresh = lambda *a, **k: fn(*a, **k)  # noqa: E731
                 state["jitted"] = jax.jit(fresh, **jit_kwargs)
                 state["validated"] = False
 
+    call._state = state  # introspection: tests assert _cache_size() == 1
     return call

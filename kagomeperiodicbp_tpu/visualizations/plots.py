@@ -75,9 +75,71 @@ def plot_tracker(tracker, reference_energy: Optional[float] = None, save: Option
     return fig
 
 
+def plot_health(tracker, save: Optional[str] = None):
+    """Environment/state health per segment: worst-edge hermicity error,
+    worst |Σλ − 1|, and per-edge negativity (reference: the 'environment and
+    state health' figure, visualizations/ite.py:280/355)."""
+    plt = _plt()
+    segs = [s for s in tracker.stats if s.edge_health]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    if segs:
+        herm = [max(h["hermicity"] for h in s.edge_health.values()) for s in segs]
+        eig = [max(abs(h["sum_eigenvalues"] - 1.0) for h in s.edge_health.values())
+               for s in segs]
+        neg = [max(h["negativity"] for h in s.edge_health.values()) for s in segs]
+        ax1.semilogy([max(v, 1e-18) for v in herm], ".-", label="max hermicity err")
+        ax1.semilogy([max(v, 1e-18) for v in eig], ".-", label="max |Σλ−1|")
+        ax1.legend()
+        ax2.plot(neg, ".-", color="tab:purple")
+    ax1.set_xlabel("segment")
+    ax1.set_title("environment health")
+    ax2.set_xlabel("segment")
+    ax2.set_ylabel("max edge negativity")
+    ax2.set_title("entanglement")
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig
+
+
+def plot_cores(tracker, save: Optional[str] = None):
+    """Core polarization per flavor: |⟨σ⟩| magnitude and the mutual angles of
+    the three sublattice spins (reference: the 'cores polarization' Bloch
+    figure, visualizations/ite.py:280 — here as series, headless-friendly)."""
+    import numpy as np
+
+    plt = _plt()
+    segs = [s for s in tracker.stats if s.expectations]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    if segs:
+        vecs = {
+            f: np.array([[s.expectations[f][k] for k in "xyz"] for s in segs])
+            for f in "ABC"
+        }
+        for f, v in vecs.items():
+            ax1.plot(np.linalg.norm(v, axis=1), ".-", label=f"|⟨σ⟩| {f}")
+        ax1.legend()
+        for a, b in (("A", "B"), ("B", "C"), ("A", "C")):
+            va, vb = vecs[a], vecs[b]
+            den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            cos = np.einsum("ij,ij->i", va, vb) / np.where(den == 0, 1.0, den)
+            ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+            ax2.plot(ang, ".-", label=f"∠({a},{b})")
+        ax2.axhline(120.0, color="k", ls=":", lw=0.8)
+        ax2.legend()
+    ax1.set_xlabel("measured segment")
+    ax1.set_title("core polarization magnitude")
+    ax2.set_xlabel("measured segment")
+    ax2.set_ylabel("degrees")
+    ax2.set_title("sublattice spin angles (120° = q0 order)")
+    if save:
+        fig.savefig(save, dpi=120, bbox_inches="tight")
+    return fig
+
+
 class ITEPlots:
-    """Live convergence dashboard updated per segment
-    (reference: visualizations/ite.py:280). Writes PNGs (headless-safe)."""
+    """Live dashboards updated per segment (reference: visualizations/ite.py:280
+    runs three live figures — main convergence, environment/state health, core
+    polarization). Writes three PNGs next to `out_path` (headless-safe)."""
 
     def __init__(self, active: bool = True, out_path: str = "logs/ite_progress.png",
                  reference_energy: Optional[float] = None):
@@ -91,8 +153,15 @@ class ITEPlots:
         try:
             import os
 
-            os.makedirs(os.path.dirname(os.path.abspath(self.out_path)), exist_ok=True)
-            fig = plot_tracker(tracker, self.reference_energy, save=self.out_path)
-            _plt().close(fig)
+            base = os.path.abspath(self.out_path)
+            os.makedirs(os.path.dirname(base), exist_ok=True)
+            root, ext = os.path.splitext(base)
+            plt = _plt()
+            for fig in (
+                plot_tracker(tracker, self.reference_energy, save=base),
+                plot_health(tracker, save=f"{root}_health{ext}"),
+                plot_cores(tracker, save=f"{root}_cores{ext}"),
+            ):
+                plt.close(fig)
         except Exception:
             self.active = False  # headless/broken matplotlib → stop trying

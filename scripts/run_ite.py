@@ -73,6 +73,9 @@ def main(argv=None):
     p.add_argument("--no-best-store", action="store_true",
                    help="do not write the best store (diagnostics / runs "
                         "seeded from reference-derived cells)")
+    p.add_argument("--monitor", action="store_true",
+                   help="sample CPU%%/RSS of this process to <out>/monitor.log "
+                        "(reference: utils/processes.py monitor_crnt_process)")
     args = p.parse_args(argv)
 
     import jax
@@ -176,6 +179,19 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     tracker = ITETracker(checkpoint_path=os.path.join(args.out, f"tracker_D{args.D}_N{args.N}.pkl"))
 
+    # process monitoring driven by the config tree (reference: main.py:58-72
+    # starts the psutil sampler from config.monitoring)
+    config.monitoring.monitor_cpu = config.monitoring.monitor_ram = args.monitor
+    monitor = None
+    if config.monitoring.monitor_cpu or config.monitoring.monitor_ram:
+        from kagomeperiodicbp_tpu.utils.logs import ProcessMonitor
+
+        monitor = ProcessMonitor(
+            os.path.join(args.out, "monitor.log"),
+            track_cpu=config.monitoring.monitor_cpu,
+            track_ram=config.monitoring.monitor_ram,
+        ).start()
+
     best, cell, tracker = full_ite(
         cell, config.ite, N=args.N, D=args.D, d=args.d, chi=config.chi,
         bp_config=config.bp, logger=log, tracker=tracker, dtype=dtype,
@@ -187,6 +203,8 @@ def main(argv=None):
         progress=config.visuals.progress_hierarchy(),
     )
 
+    if monitor is not None:
+        monitor.stop()
     out_path = os.path.join(args.out, f"D={args.D} energy={best}.pkl")
     cell.save(out_path)
     log.info("best energy/site = %.10f  (saved unit cell to %s)", best, out_path)

@@ -72,8 +72,11 @@ def test_batched_damping_is_data():
     s1, e1 = step(fused, sites)
     s2, e2 = step(fused, sites, damping_value=0.7)
     # more damping ⇒ closer to the old messages ⇒ smaller update distance on
-    # the *next* sweep; here just check both run and differ
+    # the *next* sweep
     assert abs(float(e1) - float(e2)) > 0 or _state_dist(s1, s2) > 0
+    # damping is traced data: both calls must share ONE compiled program
+    prog = B.bp_step_program(N, D, CHI, CHI, damped=True)  # lru_cache → same
+    assert prog._state["jitted"]._cache_size() == 1
 
 
 @pytest.mark.skipif(len(jax.devices()) < 6, reason="needs 6 devices")

@@ -98,3 +98,45 @@ def test_decorators():
 
     out = work()
     assert out.stats.execution_time > 0
+
+
+def test_resilient_jit_eager_fallback(monkeypatch):
+    """When every compile is poisoned (persistent UNIMPLEMENTED), the wrapper
+    must switch to eager execution and still produce the right answer."""
+    import jax
+
+    from kagomeperiodicbp_tpu.utils import jaxtools
+
+    calls = {"jit": 0}
+
+    def poisoned_jit(fn, **kw):
+        calls["jit"] += 1
+
+        def bad(*a, **k):
+            raise RuntimeError("UNIMPLEMENTED: TPU backend error (test)")
+
+        return bad
+
+    monkeypatch.setattr(jax, "jit", poisoned_jit)
+    monkeypatch.setenv("KPBP_JIT_RETRIES", "2")
+    before = len(jaxtools.EAGER_EVENTS)
+    wrapped = jaxtools.resilient_jit(lambda x: x * 2)
+    assert wrapped(21) == 42          # fell back to eager
+    assert calls["jit"] == 3          # initial + 2 retries
+    assert len(jaxtools.EAGER_EVENTS) == before + 1
+    assert wrapped(5) == 10           # stays eager, no further jit attempts
+    assert calls["jit"] == 3
+
+
+def test_resilient_jit_fallback_can_be_disabled(monkeypatch):
+    import jax
+
+    from kagomeperiodicbp_tpu.utils import jaxtools
+
+    monkeypatch.setattr(jax, "jit", lambda fn, **kw: (lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("UNIMPLEMENTED: nope"))))
+    monkeypatch.setenv("KPBP_JIT_RETRIES", "1")
+    monkeypatch.setenv("KPBP_EAGER_FALLBACK", "0")
+    wrapped = jaxtools.resilient_jit(lambda x: x + 1)
+    with pytest.raises(RuntimeError):
+        wrapped(1)

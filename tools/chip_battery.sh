@@ -1,0 +1,43 @@
+#!/bin/bash
+# Chip evidence battery (VERDICT r2 #1/#3/#4): probe axon, and on recovery
+# run the whole chip suite, logging everything under logs/chip/.
+# Guarded by a PID file so periodic schedulers can fire it blindly.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p logs/chip
+STAMP=$(date +%Y%m%d-%H%M%S)
+PIDFILE=/tmp/chip_battery.pid
+
+if [ -f "$PIDFILE" ] && kill -0 "$(cat $PIDFILE)" 2>/dev/null; then
+  echo "battery already running (pid $(cat $PIDFILE))"; exit 0
+fi
+echo $$ > "$PIDFILE"
+
+log() { echo "$(date +%H:%M:%S) $*" | tee -a "logs/chip/battery_$STAMP.log"; }
+
+log "probe..."
+if ! timeout 180 python -u tools/probe_axon.py >> "logs/chip/battery_$STAMP.log" 2>&1; then
+  log "axon DOWN — stopping"
+  rm -f "$PIDFILE"; exit 1
+fi
+log "axon UP — running battery"
+
+log "[1/4] probe_bp_programs (split-program policy check)"
+KPBP_STAGE_ALARM=900 timeout 3600 python -u tools/probe_bp_programs.py > "logs/chip/bp_programs_$STAMP.log" 2>&1
+log "bp_programs exit=$?"
+
+log "[2/4] bench.py"
+timeout 1200 python -u bench.py > "logs/chip/bench_$STAMP.log" 2>&1
+log "bench exit=$? : $(grep -h '^{' logs/chip/bench_$STAMP.log | tail -1)"
+
+log "[3/4] chip_accuracy D=3 N=2"
+timeout 3600 python -u tools/chip_accuracy.py 3 2 > "logs/chip/accuracy_$STAMP.log" 2>&1
+log "accuracy exit=$? : $(grep -h '^{' logs/chip/accuracy_$STAMP.log | tail -1)"
+
+log "[4/4] bench_scaling D=4..8"
+timeout 7200 python -u tools/bench_scaling.py 4 5 6 7 8 > "logs/chip/scaling_$STAMP.log" 2>&1
+log "scaling exit=$?"
+cat "logs/chip/scaling_$STAMP.log" >> "logs/chip/battery_$STAMP.log"
+
+log "battery done"
+rm -f "$PIDFILE"

@@ -24,7 +24,9 @@ def _alarm(signum, frame):
     raise _Timeout("stage exceeded alarm")
 
 
-def stage(name, fn, seconds=240):
+def stage(name, fn, seconds=None):
+    if seconds is None:
+        seconds = int(os.environ.get("KPBP_STAGE_ALARM", "240"))
     signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(seconds)
     t0 = time.time()
@@ -99,7 +101,8 @@ def main():
         ok = stage("distance_parts", s2)
     if ok:
         stage("combine", s3)
-    stage("full_sweep", s4, seconds=480)
+    stage("full_sweep", s4,
+          seconds=2 * int(os.environ.get("KPBP_STAGE_ALARM", "240")))
 
 
 if __name__ == "__main__":
