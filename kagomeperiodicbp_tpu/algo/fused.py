@@ -11,6 +11,7 @@ cache).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -75,11 +76,55 @@ def _one_outgoing(tensors, msg_sites: MsgSites, N, D, chi, chi_msg, toward: int,
 
 
 @functools.lru_cache(maxsize=None)
+def _post_jit(N: int, D: int, chi: int, chi_msg: int, toward: int, single: bool):
+    """jitted (raw_sites, raw_log) → (wrapped_sites, logscale): the message
+    postprocess tail (corner fold + compress + pad + reverse) as its own
+    small program — the stepwise tier's counterpart of the fused tail."""
+    plan = C.to_message_plan(N, D, chi, chi_msg, toward)
+    if single:
+        plan = C.single_layer_plan(plan)
+
+    def impl(raw_sites, raw_log):
+        raw = MPS(tuple(raw_sites), raw_log)
+        out = C.message_postprocess(raw, plan, N, D, chi_msg)
+        wrapped = out.reverse()
+        return tuple(wrapped.sites), wrapped.logscale
+
+    return resilient_jit(impl)
+
+
+@functools.lru_cache(maxsize=None)
+def _stepwise_outgoing(N: int, D: int, chi: int, chi_msg: int,
+                       toward: int, single: bool):
+    """(fused, msg_sites) → (wrapped_sites, logscale) via ONE JITTED PROGRAM
+    PER PLAN STEP (ops/contract.execute_plan_stepwise) plus the small
+    postprocess program — the middle tier of the degraded-backend ladder."""
+    plan = C.to_message_plan(N, D, chi, chi_msg, toward)
+    if single:
+        plan = C.single_layer_plan(plan)
+    post = _post_jit(N, D, chi, chi_msg, toward, single)
+
+    def call(fused, msg_sites: MsgSites):
+        from ..ops.contract import execute_plan_stepwise
+
+        if single:
+            fetch = C._make_fetch(None, msg_sites, kets=tuple(fused))
+        else:
+            fetch = _make_fetch(fused, msg_sites)
+        raw = execute_plan_stepwise(plan, fetch)
+        return post(tuple(raw.sites), raw.logscale)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
 def _one_side_outgoing_jit(N: int, D: int, chi: int, chi_msg: int,
                            toward: int, single: bool):
     """jitted (fused, msg_sites) → (wrapped_sites, logscale): the outgoing
     message of one side, wrapped.  The distance is deliberately NOT in this
-    program — see _one_side_update."""
+    program — see _one_side_update.  When the backend rejects every compile
+    of the whole-side program, resilient_jit degrades it to the stepwise
+    tier (which degrades its own per-step programs to eager individually)."""
 
     def impl(fused, msg_sites: MsgSites):
         out = _one_outgoing(fused, msg_sites, N, D, chi, chi_msg, toward,
@@ -87,7 +132,8 @@ def _one_side_outgoing_jit(N: int, D: int, chi: int, chi_msg: int,
         wrapped = out.reverse()
         return tuple(wrapped.sites), wrapped.logscale
 
-    return resilient_jit(impl)
+    return resilient_jit(
+        impl, fallback=_stepwise_outgoing(N, D, chi, chi_msg, toward, single))
 
 
 @functools.lru_cache(maxsize=None)
@@ -126,8 +172,13 @@ def _one_side_update(N: int, D: int, chi: int, chi_msg: int,
     there (round-3 bisect), while each half executes correctly."""
     from .batched import _on_axon
 
-    if _on_axon() and not damped:
-        out_fn = _one_side_outgoing_jit(N, D, chi, chi_msg, toward, single)
+    force_stepwise = os.environ.get("KPBP_EXEC") == "stepwise"
+    if (_on_axon() or force_stepwise) and not damped:
+        out_fn = (
+            _stepwise_outgoing(N, D, chi, chi_msg, toward, single)
+            if force_stepwise
+            else _one_side_outgoing_jit(N, D, chi, chi_msg, toward, single)
+        )
         parts_fn = _distance_parts_jit()
         tgt = int(BlockSide(toward).opposite())
 

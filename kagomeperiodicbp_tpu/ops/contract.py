@@ -245,6 +245,89 @@ def _swallow_ket_blob(tk: jnp.ndarray, consumed, n_in: int, n_out: int, D: int):
     return A.reshape(shape)
 
 
+def apply_step(fr: Frontier, plan: Plan, step: Step, raw: jnp.ndarray,
+               dtype=None) -> None:
+    """One plan step applied to the frontier, in place: permute the fetched
+    tensor, swallow it (double- or single-layer), split the blob back into
+    MPS sites and truncate per the plan's policy.  Shared by the
+    whole-program executor below and the per-step jitted runner
+    (`execute_plan_stepwise`), so the two paths are the same traced code."""
+    single = plan.single_layer and step.source[0] == "lat"
+    if single:
+        kt = raw                                   # [d, v0..v3], D-dim legs
+        if dtype is not None:
+            kt = kt.astype(dtype)
+        fr._init_scale(kt.dtype)
+        # permute virtual legs per the (double-layer) plan, d last
+        t = jnp.transpose(kt, tuple(p + 1 for p in step.perm) + (0,))
+    else:
+        t = raw
+        if dtype is not None:
+            t = t.astype(dtype)
+        fr._init_scale(t.dtype)
+        t = jnp.transpose(t, step.perm)
+
+    s, n_in, n_out = step.start, step.n_in, step.n_out
+
+    if n_in == 0:
+        assert not fr.sites, "zero-in-leg step on a non-empty frontier"
+        if single:
+            # no frontier contact: the fused node tensor is the blob
+            t = _fuse_ket(t, n_out)
+        blob = t.reshape((1,) + t.shape + (1,))
+    elif single:
+        D = t.shape[0]
+        blob = _swallow_ket_blob(t, fr.sites[s : s + n_in], n_in, n_out, D)
+    else:
+        consumed = fr.sites[s : s + n_in]
+        run = jnp.tensordot(t, consumed[0], axes=([0], [1]))
+        run = jnp.moveaxis(run, run.ndim - 2, 0)  # [Dl, in1.., out.., b]
+        for j in range(1, n_in):
+            run = jnp.tensordot(
+                run, consumed[j], axes=([1, run.ndim - 1], [1, 0])
+            )
+        blob = run  # [Dl, out..., Dr]
+
+    blob = fr._absorb_norm(blob)
+
+    if n_out == 0:
+        mat = blob.reshape(blob.shape[0], blob.shape[-1])
+        del fr.sites[s : s + n_in]
+        if fr.rc >= s + n_in:
+            fr.rc -= n_in
+        else:
+            fr.rc = max(fr.rc, s)
+        fr.rc = min(fr.rc, len(fr.sites))
+        fr.lc = min(fr.lc, max(s - 1, 0))
+        if s > 0:
+            fr.sites[s - 1] = jnp.einsum("apb,bc->apc", fr.sites[s - 1], mat)
+            fr._invalidate(s - 1)
+        elif fr.sites:
+            fr.sites[0] = jnp.einsum("ab,bpc->apc", mat, fr.sites[0])
+            fr._invalidate(0)
+        else:
+            fr.mantissa = fr.mantissa * mat[0, 0]
+    else:
+        new_sites = _split_blob(blob, fr)
+        fr.replace(s, n_in, new_sites)
+        if plan.chi_lazy is not None:
+            # two-tier lazy mode (reference D_trunc/D_trunc2): let bonds
+            # grow past chi, truncate the whole frontier only when one
+            # exceeds chi_lazy
+            if fr.max_bond_in(0, len(fr.sites)) > plan.chi_lazy:
+                fr.truncate_window(0, len(fr.sites))
+        elif fr.max_bond_in(s, s + n_out) > plan.chi:
+            fr.truncate_window(s, s + n_out)
+
+
+def _fetch_raw(plan: Plan, step: Step, fetch: Callable[[Source], jnp.ndarray]):
+    """The tensor a step consumes, pre-permutation (ket tensor when the plan
+    runs in single-layer mode and the step swallows a lattice node)."""
+    if plan.single_layer and step.source[0] == "lat":
+        return fetch(("ket", step.source[1]))
+    return fetch(step.source)
+
+
 def execute_plan(
     plan: Plan,
     fetch: Callable[[Source], jnp.ndarray],
@@ -257,72 +340,77 @@ def execute_plan(
     fr = Frontier(plan.chi)
 
     for step in plan.steps:
-        single = plan.single_layer and step.source[0] == "lat"
-        if single:
-            kt = fetch(("ket", step.source[1]))   # [d, v0..v3], D-dim legs
-            if dtype is not None:
-                kt = kt.astype(dtype)
-            fr._init_scale(kt.dtype)
-            # permute virtual legs per the (double-layer) plan, d last
-            t = jnp.transpose(kt, tuple(p + 1 for p in step.perm) + (0,))
-        else:
-            t = fetch(step.source)
-            if dtype is not None:
-                t = t.astype(dtype)
-            fr._init_scale(t.dtype)
-            t = jnp.transpose(t, step.perm)
+        apply_step(fr, plan, step, _fetch_raw(plan, step, fetch), dtype)
 
-        s, n_in, n_out = step.start, step.n_in, step.n_out
+    if not fr.sites:
+        return fr.mantissa, fr.logscale
 
-        if n_in == 0:
-            assert not fr.sites, "zero-in-leg step on a non-empty frontier"
-            if single:
-                # no frontier contact: the fused node tensor is the blob
-                t = _fuse_ket(t, n_out)
-            blob = t.reshape((1,) + t.shape + (1,))
-        elif single:
-            D = t.shape[0]
-            blob = _swallow_ket_blob(t, fr.sites[s : s + n_in], n_in, n_out, D)
-        else:
-            consumed = fr.sites[s : s + n_in]
-            run = jnp.tensordot(t, consumed[0], axes=([0], [1]))
-            run = jnp.moveaxis(run, run.ndim - 2, 0)  # [Dl, in1.., out.., b]
-            for j in range(1, n_in):
-                run = jnp.tensordot(
-                    run, consumed[j], axes=([1, run.ndim - 1], [1, 0])
-                )
-            blob = run  # [Dl, out..., Dr]
+    first = fr.sites[0] * fr.mantissa
+    out = MPS((first,) + tuple(fr.sites[1:]), fr.logscale)
+    return out
 
-        blob = fr._absorb_norm(blob)
 
-        if n_out == 0:
-            mat = blob.reshape(blob.shape[0], blob.shape[-1])
-            del fr.sites[s : s + n_in]
-            if fr.rc >= s + n_in:
-                fr.rc -= n_in
-            else:
-                fr.rc = max(fr.rc, s)
-            fr.rc = min(fr.rc, len(fr.sites))
-            fr.lc = min(fr.lc, max(s - 1, 0))
-            if s > 0:
-                fr.sites[s - 1] = jnp.einsum("apb,bc->apc", fr.sites[s - 1], mat)
-                fr._invalidate(s - 1)
-            elif fr.sites:
-                fr.sites[0] = jnp.einsum("ab,bpc->apc", mat, fr.sites[0])
-                fr._invalidate(0)
-            else:
-                fr.mantissa = fr.mantissa * mat[0, 0]
-        else:
-            new_sites = _split_blob(blob, fr)
-            fr.replace(s, n_in, new_sites)
-            if plan.chi_lazy is not None:
-                # two-tier lazy mode (reference D_trunc/D_trunc2): let bonds
-                # grow past chi, truncate the whole frontier only when one
-                # exceeds chi_lazy
-                if fr.max_bond_in(0, len(fr.sites)) > plan.chi_lazy:
-                    fr.truncate_window(0, len(fr.sites))
-            elif fr.max_bond_in(s, s + n_out) > plan.chi:
-                fr.truncate_window(s, s + n_out)
+def execute_plan_stepwise(
+    plan: Plan,
+    fetch: Callable[[Source], jnp.ndarray],
+    dtype=None,
+):
+    """`execute_plan` dispatched as ONE JITTED PROGRAM PER PLAN STEP.
+
+    The middle tier of the degraded-backend execution ladder (see
+    utils/jaxtools.resilient_jit): the experimental axon TPU backend
+    sometimes rejects every whole-side BP program (~10⁴ HLO ops) while
+    accepting small ones. A step program (one swallow + its truncation
+    window, ~10²–10³ ops) is ~20× fewer dispatches than eager per-op
+    execution, and each program is individually retried/eager-degraded by
+    resilient_jit.
+
+    Marker logic (lc/rc, bond growth decisions) runs at trace time exactly
+    as in `execute_plan` — both paths share `apply_step`, so results are
+    bit-identical.  Programs are cached on the plan object keyed by (step
+    index, input shapes/dtypes, in-markers); shapes repeat across sweeps,
+    so the cache is warm after the first sweep.
+    """
+    cache = plan.__dict__.setdefault("_step_cache", {})
+    fr = Frontier(plan.chi)
+
+    for idx, step in enumerate(plan.steps):
+        raw = _fetch_raw(plan, step, fetch)
+        key = (
+            idx,
+            tuple((s.shape, str(s.dtype)) for s in fr.sites),
+            (raw.shape, str(raw.dtype)),
+            fr.lc, fr.rc, fr.logscale is None, str(dtype),
+        )
+        entry = cache.get(key)
+        if entry is None:
+            from ..utils.jaxtools import resilient_jit
+
+            markers: dict = {}
+            lc_in, rc_in, fresh = fr.lc, fr.rc, fr.logscale is None
+
+            def impl(sites, raw_t, logscale, mantissa,
+                     _step=step, _lc=lc_in, _rc=rc_in, _fresh=fresh):
+                f = Frontier(plan.chi)
+                f.sites = list(sites)
+                f.lc, f.rc = _lc, _rc
+                if not _fresh:
+                    f.logscale, f.mantissa = logscale, mantissa
+                apply_step(f, plan, _step, raw_t, dtype)
+                markers["out"] = (f.lc, f.rc)
+                return tuple(f.sites), f.logscale, f.mantissa
+
+            entry = (resilient_jit(impl), markers)
+            cache[key] = entry
+        fn, markers = entry
+        sites, logscale, mantissa = fn(
+            tuple(fr.sites), raw, fr.logscale, fr.mantissa
+        )
+        # markers["out"] is always present here: the jit path fills it at
+        # trace time, the eager-fallback path on every call
+        fr.sites = list(sites)
+        fr.logscale, fr.mantissa = logscale, mantissa
+        fr.lc, fr.rc = markers["out"]
 
     if not fr.sites:
         return fr.mantissa, fr.logscale

@@ -73,7 +73,7 @@ def _eager_fallback_enabled() -> bool:
     return os.environ.get("KPBP_EAGER_FALLBACK", "1") != "0"
 
 
-def resilient_jit(fn, max_retries: int | None = None, **jit_kwargs):
+def resilient_jit(fn, max_retries: int | None = None, fallback=None, **jit_kwargs):
     """jax.jit wrapper that survives the experimental axon backend's flaky
     remote compiler: the same program occasionally compiles into an
     executable that fails at run time with UNIMPLEMENTED. On such a failure
@@ -89,6 +89,13 @@ def resilient_jit(fn, max_retries: int | None = None, **jit_kwargs):
     poisoning. ~100× slower than jitted, ∞× faster than nothing; each
     switch is logged and recorded in EAGER_EVENTS. Opt out with
     KPBP_EAGER_FALLBACK=0; retry budget via KPBP_JIT_RETRIES.
+
+    `fallback`: optional callable (same signature) to use instead of plain
+    eager `fn` when the program is given up on — callers pass a
+    middle-granularity implementation (e.g. the per-plan-step runner,
+    ops/contract.execute_plan_stepwise) so the degradation ladder composes:
+    whole program → fallback's smaller programs → those programs' own
+    eager fallback.
     """
     import jax
 
@@ -105,9 +112,11 @@ def resilient_jit(fn, max_retries: int | None = None, **jit_kwargs):
         if leaves:
             to_numpy(min(leaves, key=lambda l: l.size))
 
+    degraded = fallback if fallback is not None else fn
+
     def call(*args, **kwargs):
         if state["eager"]:
-            return fn(*args, **kwargs)
+            return degraded(*args, **kwargs)
         attempt = 0
         while True:
             try:
@@ -126,12 +135,14 @@ def resilient_jit(fn, max_retries: int | None = None, **jit_kwargs):
                     import logging
 
                     name = getattr(fn, "__qualname__", repr(fn))
+                    how = "FALLBACK" if fallback is not None else "EAGER"
                     logging.getLogger("kpbp.jaxtools").warning(
                         "resilient_jit: %d poisoned compiles for %s — "
-                        "switching this program to EAGER execution", attempt + 1, name)
+                        "switching this program to %s execution",
+                        attempt + 1, name, how)
                     EAGER_EVENTS.append(name)
                     state["eager"] = True
-                    return fn(*args, **kwargs)
+                    return degraded(*args, **kwargs)
                 attempt += 1
                 # new function identity → fresh compilation-cache entry
                 fresh = lambda *a, **k: fn(*a, **k)  # noqa: E731

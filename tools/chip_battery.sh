@@ -22,6 +22,11 @@ if ! timeout 180 python -u tools/probe_axon.py >> "logs/chip/battery_$STAMP.log"
 fi
 log "axon UP — running battery"
 
+log "[0/4] probe_eager_ops (per-op capability map)"
+timeout 1200 python -u tools/probe_eager_ops.py > "logs/chip/eager_ops_$STAMP.log" 2>&1
+log "eager_ops exit=$?"
+grep '^{' "logs/chip/eager_ops_$STAMP.log" | tail -13 >> "logs/chip/battery_$STAMP.log"
+
 log "[1/4] probe_bp_programs (split-program policy check)"
 KPBP_STAGE_ALARM=900 timeout 3600 python -u tools/probe_bp_programs.py > "logs/chip/bp_programs_$STAMP.log" 2>&1
 log "bp_programs exit=$?"
