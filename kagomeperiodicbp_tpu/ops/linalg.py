@@ -23,18 +23,66 @@ def rtol_for(dtype) -> float:
     return PINV_RTOL
 
 
-def qr_stable(a: jnp.ndarray):
-    """Thin QR with R's diagonal made real-nonnegative (unique gauge).
+def _gram_mode() -> bool:
+    """KPBP_LINALG=gram selects the MXU-friendly gram-based factorizations
+    (CholeskyQR2 / eigh-of-gram SVD) — matmul-dominated, so they ride the
+    TPU's systolic array instead of the sequential Householder/Jacobi
+    lowerings. Read at TRACE time; set it before programs are built."""
+    import os
 
-    The gauge fix keeps canonical forms deterministic across backends, which
-    stabilises BP message distances.
-    """
-    q, r = jnp.linalg.qr(a, mode="reduced")
+    return os.environ.get("KPBP_LINALG") == "gram"
+
+
+def _phase_fix(q, r):
+    """Make R's diagonal real-nonnegative (unique gauge — keeps canonical
+    forms deterministic across backends, stabilising BP message distances)."""
     d = jnp.diagonal(r, axis1=-2, axis2=-1)
     phase = jnp.where(jnp.abs(d) > 0, d / jnp.where(jnp.abs(d) > 0, jnp.abs(d), 1.0), 1.0)
     q = q * phase[..., None, :]
     r = r * jnp.conj(phase)[..., :, None]
     return q, r
+
+
+def _cholqr_once(a: jnp.ndarray):
+    """One shifted CholeskyQR pass for a tall [m, k] matrix (m ≥ k):
+    G = A†A (one MXU matmul), R = chol(G), Q = A R⁻¹ (triangular solve).
+    The shift ~u·tr(G) keeps the Cholesky alive for rank-deficient A (e.g.
+    zero-padded bonds from UnitCell.pad_to); null directions come back with
+    ~zero-norm Q columns, which carry no weight downstream."""
+    from jax.scipy.linalg import solve_triangular
+
+    k = a.shape[-1]
+    g = a.conj().T @ a
+    u = jnp.finfo(a.real.dtype).eps
+    shift = u * jnp.maximum(jnp.trace(g).real, 1e-300)
+    g = g + shift * jnp.eye(k, dtype=g.dtype)
+    l = jnp.linalg.cholesky(g)                     # G = L L†
+    # Q = A·(L†)⁻¹  ⇔  Q† = L⁻¹ A†
+    qh = solve_triangular(l, a.conj().T, lower=True)
+    return qh.conj().T, l.conj().T                 # (Q, R) with R = L† upper
+
+
+def cholqr2(a: jnp.ndarray):
+    """CholeskyQR2 (Yamamoto et al.): two passes restore orthonormality to
+    ~machine eps for cond(A) ≲ u^(-1/2). Cost: 2 gram matmuls + 2 small
+    Cholesky factorizations + 2 triangular solves — all MXU/VPU work, no
+    sequential Householder loop. Requires m ≥ k (the executor's tall side)."""
+    q1, r1 = _cholqr_once(a)
+    q, r2 = _cholqr_once(q1)
+    return _phase_fix(q, r2 @ r1)
+
+
+def qr_stable(a: jnp.ndarray):
+    """Thin QR with R's diagonal made real-nonnegative (unique gauge).
+
+    KPBP_LINALG=gram routes tall matrices through CholeskyQR2 (see
+    `_gram_mode`); wide matrices (m < k) stay on Householder — they are the
+    cheap side and CholeskyQR needs the gram on the short axis anyway.
+    """
+    if _gram_mode() and a.ndim == 2 and a.shape[0] >= a.shape[1]:
+        return cholqr2(a)
+    q, r = jnp.linalg.qr(a, mode="reduced")
+    return _phase_fix(q, r)
 
 
 def svd_trunc(a: jnp.ndarray, k: int):
@@ -86,12 +134,42 @@ def rsvd_trunc(a: jnp.ndarray, k: int, oversample: int = RSVD_OVERSAMPLE,
     return u[:, :k], s[:k], vh[:k, :]
 
 
+def svd_trunc_gram(a: jnp.ndarray, k: int):
+    """Truncated SVD via eigh of the gram matrix on the SHORT side: one MXU
+    matmul + a hermitian eigendecomposition (far faster than Jacobi SVD on
+    TPU) + one matmul to recover the other factor.  Squares the condition
+    number, so singular values below √u·s_max lose accuracy — irrelevant for
+    χ-truncation, where those directions are the ones being dropped.
+    Returns (u [m,k], s [k], vh [k,n]) like svd_trunc."""
+    m, n = a.shape
+    if m <= n:
+        g = a @ a.conj().T                          # [m, m]
+        w, u = jnp.linalg.eigh(g)                   # ascending
+        w = w[::-1][:k]
+        u_k = u[:, ::-1][:, :k]
+        s = jnp.sqrt(jnp.maximum(w, 0.0))
+        inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+        vh = inv.astype(a.dtype)[:, None] * (u_k.conj().T @ a)
+        return u_k, s, vh
+    g = a.conj().T @ a                              # [n, n]
+    w, v = jnp.linalg.eigh(g)
+    w = w[::-1][:k]
+    v_k = v[:, ::-1][:, :k]
+    s = jnp.sqrt(jnp.maximum(w, 0.0))
+    inv = jnp.where(s > 0, 1.0 / jnp.where(s > 0, s, 1.0), 0.0)
+    u_k = (a @ v_k) * inv.astype(a.dtype)[None, :]
+    return u_k, s, v_k.conj().T
+
+
 def svd_trunc_auto(a: jnp.ndarray, k: int):
     """svd_trunc below RSVD_MIN_DIM (exact, keeps the 1e-10 accuracy bar of
-    the small-D tests), rsvd_trunc above (the large-χ hot path)."""
+    the small-D tests), rsvd_trunc above (the large-χ hot path).
+    KPBP_LINALG=gram swaps the exact SVD for the eigh-of-gram variant."""
     m, n = a.shape
     if min(m, n) > max(RSVD_MIN_DIM, 4 * k):
         return rsvd_trunc(a, k)
+    if _gram_mode():
+        return svd_trunc_gram(a, k)
     return svd_trunc(a, k)
 
 

@@ -58,8 +58,24 @@ def main():
     t0 = time.time()
     _, stats = belief_propagation(tn, None, cfg)
     dt = time.time() - t0
+    per_sweep = dt / stats.iterations
     print(f"reference BP: D={D} N={N} chi={chi}: {stats.iterations} sweeps "
-          f"in {dt:.2f}s -> {dt/stats.iterations:.3f}s/sweep")
+          f"in {dt:.2f}s -> {per_sweep:.3f}s/sweep")
+
+    # persist the bench-config baseline so bench.py's vs_baseline is a
+    # number measured on THIS machine, not a hard-coded constant
+    if (D, N, chi) == (3, 2, 18):
+        import json
+
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = os.path.join(here, "data", "reference_baseline.json")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as fh:
+            json.dump({"D": D, "N": N, "chi": chi,
+                       "seconds_per_sweep": per_sweep,
+                       "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
+                      fh)
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":
