@@ -89,6 +89,13 @@ def main():
     os.environ.setdefault("KPBP_JIT_RETRIES", "2")
 
     import jax
+
+    # final-fallback tier (parent sets KPBP_BENCH_PLATFORM=cpu when the TPU
+    # tunnel is entirely down): measure on CPU against the same-machine
+    # reference CPU baseline — identical hardware, honest ratio
+    platform = os.environ.get("KPBP_BENCH_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     import jax.numpy as jnp
 
     from kagomeperiodicbp_tpu.utils.jaxtools import enable_compilation_cache
@@ -139,7 +146,9 @@ def main():
                 keep_existing = json.load(f).get("mode", "jit") == "jit"
         except Exception:
             pass
-    if not keep_existing:
+    # platform-forced (CPU-fallback) measurements are emitted but never
+    # become the last-good record — that slot is for real chip numbers
+    if not keep_existing and not platform:
         with open(LAST_GOOD, "w") as f:
             json.dump(rec, f)
     _emit(rec)
@@ -158,22 +167,52 @@ def _parent():
     import subprocess
 
     budget = int(os.environ.get("KPBP_BENCH_TIMEOUT", "600"))
-    env = dict(os.environ, KPBP_BENCH_CHILD="1")
-    try:
+
+    def run_child(extra_env, timeout):
+        env = dict(os.environ, KPBP_BENCH_CHILD="1", **extra_env)
         out = subprocess.run(
             [sys.executable, "-u", os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, timeout=budget, cwd=ROOT,
+            env=env, capture_output=True, text=True, timeout=timeout, cwd=ROOT,
         )
         for line in out.stdout.splitlines():
             line = line.strip()
             if line.startswith('{"metric"'):
-                print(line)
-                return
-        _emit_last_good(f"child produced no JSON; stderr: {out.stderr[-150:]}")
+                return line
+        return None
+
+    error = None
+    try:
+        line = run_child({}, budget)
+        if line and '"value": 0.0' not in line:
+            print(line)
+            return
+        error = line or "child produced no JSON"
     except subprocess.TimeoutExpired:
-        _emit_last_good(f"watchdog: child exceeded {budget}s (backend hang)")
+        error = f"watchdog: child exceeded {budget}s (backend hang)"
     except Exception as exc:  # noqa: BLE001
-        _emit_last_good(repr(exc))
+        error = repr(exc)
+
+    # a jit-mode chip record from earlier beats everything else we can do now
+    try:
+        with open(LAST_GOOD) as f:
+            if json.load(f).get("mode", "jit") == "jit":
+                _emit_last_good(str(error)[:160])
+                return
+    except Exception:
+        pass
+
+    # TPU tunnel down and no chip record to fall back on: measure on CPU —
+    # same machine as the reference baseline, so vs_baseline stays honest
+    try:
+        line = run_child({"KPBP_BENCH_PLATFORM": "cpu"}, 420)
+        if line:
+            rec = json.loads(line)
+            rec["error_tpu"] = str(error)[:160]
+            print(json.dumps(rec))
+            return
+    except Exception as exc:  # noqa: BLE001
+        error = f"{error}; cpu fallback: {exc!r}"
+    _emit_last_good(str(error)[:200])
 
 
 if __name__ == "__main__":

@@ -15,3 +15,24 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# No persistent compilation cache in tests: newer jax enables a default
+# cache dir, and its zstandard writer segfaulted a full-suite run mid-write
+# (2026-08-18, ~80% through, put_executable_and_time frame). Test programs
+# are small; compiling them fresh is cheaper than a crashy cache.
+try:
+    jax.config.update("jax_enable_compilation_cache", False)
+except Exception:
+    pass
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA:CPU compiler segfaulted twice at test ~160 of a full-suite
+    run (backend_compile_and_load frame) while every module passes
+    standalone — an accumulated-compile-state crash. Dropping live
+    executables between modules keeps the in-process compiler young."""
+    yield
+    jax.clear_caches()
