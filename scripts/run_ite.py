@@ -76,6 +76,10 @@ def main(argv=None):
     p.add_argument("--monitor", action="store_true",
                    help="sample CPU%%/RSS of this process to <out>/monitor.log "
                         "(reference: utils/processes.py monitor_crnt_process)")
+    p.add_argument("--strengthen", type=int, default=0, metavar="K",
+                   help="apply Config.strengthen K times before running "
+                        "(restart-harder: chi and chi_bp x1.5 each; reference: "
+                        "global_config.py:92 strengthen on restarted runs)")
     args = p.parse_args(argv)
 
     import jax
@@ -175,6 +179,8 @@ def main(argv=None):
     if args.mode_reps is not None:
         config.ite.num_mode_repetitions_per_segment = args.mode_reps
     config.bp = BPConfig(trunc_dim=2 * args.D * args.D, damping=args.damping, dtype=dtype)
+    for _ in range(args.strengthen):
+        config = config.strengthen()
 
     os.makedirs(args.out, exist_ok=True)
     tracker = ITETracker(checkpoint_path=os.path.join(args.out, f"tracker_D{args.D}_N{args.N}.pkl"))
