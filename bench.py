@@ -120,7 +120,7 @@ def main():
 
     from kagomeperiodicbp_tpu.utils.jaxtools import EAGER_EVENTS
 
-    n_sweeps = 4 if EAGER_EVENTS else 20
+    n_sweeps = 2 if EAGER_EVENTS else 20
     t0 = time.perf_counter()
     for _ in range(n_sweeps):
         sites, err = step(fused, sites)

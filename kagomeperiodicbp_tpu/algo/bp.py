@@ -25,9 +25,14 @@ import jax
 import jax.numpy as jnp
 
 try:  # backend/runtime failures (remote-compiler poisoning, OOM, tunnel)
-    from jax.errors import JaxRuntimeError as _BackendError
+    from jax.errors import JaxRuntimeError as _JaxError
 except ImportError:  # older jax
-    from jaxlib.xla_extension import XlaRuntimeError as _BackendError
+    from jaxlib.xla_extension import XlaRuntimeError as _JaxError
+
+from ..utils.jaxtools import TransferTimeout, host_float
+
+# hung device→host waits are the same weather class as runtime UNIMPLEMENTED
+_BackendError = (_JaxError, TransferTimeout)
 
 from ..lattices import BlockSide
 from ..networks.graph import message_bond_profile
@@ -180,7 +185,7 @@ def belief_propagation(
         prev_sites = msg_sites
         try:
             msg_sites, err_arr = step_fn(fused, prev_sites)
-            err = float(err_arr)
+            err = host_float(err_arr)
         except _BackendError as exc:
             if not use_batched:
                 raise
@@ -195,7 +200,7 @@ def belief_propagation(
             use_batched = False
             step_fn = F.bp_iteration(N, D, chi, chi_msg, config.damping)
             msg_sites, err_arr = step_fn(fused, prev_sites)
-            err = float(err_arr)
+            err = host_float(err_arr)
         stats.error_history.append(err)
         if err < best_err:
             best_err, best_sites = err, msg_sites

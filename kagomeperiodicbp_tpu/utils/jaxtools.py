@@ -44,24 +44,108 @@ def setup(platform: str | None = None, x64: bool = False, cache: bool = True) ->
         enable_compilation_cache()
 
 
+class TransferTimeout(RuntimeError):
+    """A device→host copy (or ready-wait) hung.
+
+    Observed axon failure mode (round 3): poisoned executables can produce
+    buffers whose transfer RPC blocks forever *in C code* — SIGALRM never
+    fires because the Python signal handler can't run while the calling
+    thread is stuck inside the runtime. The only in-process guard that works
+    is doing the blocking call in a separate thread and abandoning it on
+    timeout. Treated everywhere as a poisoned-program signal (same class as
+    runtime UNIMPLEMENTED)."""
+
+
+_ON_AXON: bool | None = None
+
+
+def on_axon() -> bool:
+    """True when the experimental axon TPU backend is active. The devices
+    report platform 'tpu' (not 'axon') — the config/env string is the only
+    reliable signal."""
+    global _ON_AXON
+    if _ON_AXON is None:
+        import jax
+
+        plats = "%s,%s" % (getattr(jax.config, "jax_platforms", "") or "",
+                           os.environ.get("JAX_PLATFORMS", ""))
+        if "axon" not in plats:
+            _ON_AXON = False
+        else:
+            try:
+                _ON_AXON = jax.devices()[0].platform in ("axon", "tpu")
+            except Exception:
+                return False  # backend not up yet — don't cache
+    return _ON_AXON
+
+
+def guarded_wait(fn, timeout: float | None = None):
+    """Run a potentially-hanging blocking call (device→host copy,
+    block_until_ready) in a daemon thread with a deadline. Only engaged on
+    axon — on healthy backends this is a plain call with zero overhead.
+
+    On timeout the worker thread is abandoned (daemon — it dies with the
+    process) and TransferTimeout is raised so resilient_jit / callers treat
+    the program as poisoned instead of hanging past every tool watchdog."""
+    if not on_axon():
+        return fn()
+    import threading
+
+    if timeout is None:
+        timeout = float(os.environ.get("KPBP_TRANSFER_TIMEOUT", "180"))
+    box: dict = {}
+
+    def run():
+        try:
+            box["v"] = fn()
+        except BaseException as exc:  # noqa: BLE001 — relayed to caller
+            box["e"] = exc
+
+    t = threading.Thread(target=run, daemon=True, name="kpbp-transfer")
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise TransferTimeout(
+            f"device→host wait exceeded {timeout:.0f}s (hung runtime RPC — "
+            "treating the producing program as poisoned)")
+    if "e" in box:
+        raise box["e"]
+    return box.get("v")
+
+
+def _poisoned(exc: BaseException) -> bool:
+    """Does this exception mean 'the compiled executable is bad' (retryable
+    with a fresh compile) rather than a genuine program error?"""
+    return isinstance(exc, TransferTimeout) or "UNIMPLEMENTED" in str(exc)
+
+
 def to_numpy(x):
     """Device→host transfer that works around backends unable to transfer
     complex arrays (the experimental axon TPU backend): complex values move
-    as two real transfers."""
+    as two real transfers. On axon the copy is hang-guarded (see
+    guarded_wait)."""
     import jax.numpy as jnp
     import numpy as np
 
     if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
-        return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
-    return np.asarray(x)
+        re, im = jnp.real(x), jnp.imag(x)
+        return guarded_wait(lambda: np.asarray(re) + 1j * np.asarray(im))
+    return guarded_wait(lambda: np.asarray(x))
+
+
+def host_float(x) -> float:
+    """Hang-guarded scalar transfer (use instead of float(arr) in drivers)."""
+    import numpy as np
+
+    return float(np.asarray(to_numpy(x)).reshape(())) if hasattr(x, "dtype") else float(x)
 
 
 def to_complex_scalar(x) -> complex:
     import jax.numpy as jnp
 
     if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
-        return complex(float(jnp.real(x)), float(jnp.imag(x)))
-    return complex(float(x), 0.0)
+        return complex(host_float(jnp.real(x)), host_float(jnp.imag(x)))
+    return complex(host_float(x), 0.0)
 
 
 # log of programs that fell back to eager execution this process (bench and
@@ -114,20 +198,44 @@ def resilient_jit(fn, max_retries: int | None = None, fallback=None, **jit_kwarg
 
     degraded = fallback if fallback is not None else fn
 
+    def _run_degraded(*args, **kwargs):
+        """Last-tier execution with poisoned-per-op recovery: eager op
+        executables are compiled+cached too, and the flaky axon compiler
+        occasionally poisons those as well (observed: a full eager BP sweep
+        dies on one op's UNIMPLEMENTED while the other hundreds run).
+        jax.clear_caches() evicts the poisoned executable so the retry gets
+        a fresh compile. Budget via KPBP_EAGER_RETRIES."""
+        retries = int(os.environ.get("KPBP_EAGER_RETRIES", "2"))
+        attempt = 0
+        while True:
+            try:
+                return degraded(*args, **kwargs)
+            except Exception as exc:  # noqa: BLE001
+                if not _poisoned(exc) or attempt >= retries:
+                    raise
+                attempt += 1
+                import logging
+
+                logging.getLogger("kpbp.jaxtools").warning(
+                    "degraded execution hit a poisoned per-op executable "
+                    "(%s) — jax.clear_caches() and retry %d/%d",
+                    repr(exc)[:90], attempt, retries)
+                jax.clear_caches()
+
     def call(*args, **kwargs):
         if state["eager"]:
-            return degraded(*args, **kwargs)
+            return _run_degraded(*args, **kwargs)
         attempt = 0
         while True:
             try:
                 out = state["jitted"](*args, **kwargs)
                 if not state["validated"]:
-                    jax.block_until_ready(out)
+                    guarded_wait(lambda: jax.block_until_ready(out))
                     _probe(out)
                     state["validated"] = True
                 return out
             except Exception as exc:  # noqa: BLE001
-                if "UNIMPLEMENTED" not in str(exc):
+                if not _poisoned(exc):
                     raise
                 if attempt >= max_retries:
                     if not _eager_fallback_enabled():
@@ -142,7 +250,7 @@ def resilient_jit(fn, max_retries: int | None = None, fallback=None, **jit_kwarg
                         attempt + 1, name, how)
                     EAGER_EVENTS.append(name)
                     state["eager"] = True
-                    return degraded(*args, **kwargs)
+                    return _run_degraded(*args, **kwargs)
                 attempt += 1
                 # new function identity → fresh compilation-cache entry
                 fresh = lambda *a, **k: fn(*a, **k)  # noqa: E731

@@ -140,3 +140,81 @@ def test_resilient_jit_fallback_can_be_disabled(monkeypatch):
     wrapped = jaxtools.resilient_jit(lambda x: x + 1)
     with pytest.raises(RuntimeError):
         wrapped(1)
+
+
+def test_degraded_tier_retries_poisoned_eager_ops(monkeypatch):
+    """Round-3 weather: even eager per-op executables flake UNIMPLEMENTED.
+    The degraded tier must evict caches and retry instead of dying."""
+    import jax
+
+    from kagomeperiodicbp_tpu.utils import jaxtools
+
+    monkeypatch.setattr(jax, "jit", lambda fn, **kw: (lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("UNIMPLEMENTED: jit poisoned"))))
+    monkeypatch.setenv("KPBP_JIT_RETRIES", "0")
+    monkeypatch.setenv("KPBP_EAGER_RETRIES", "2")
+
+    calls = {"n": 0, "cleared": 0}
+    monkeypatch.setattr(jax, "clear_caches", lambda: calls.__setitem__("cleared", calls["cleared"] + 1))
+
+    def flaky_eager(x):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("UNIMPLEMENTED: eager poisoned")
+        return x + 1
+
+    wrapped = jaxtools.resilient_jit(lambda x: x + 1, fallback=flaky_eager)
+    assert wrapped(1) == 2
+    assert calls["n"] == 3
+    assert calls["cleared"] == 2     # one eviction per failed eager attempt
+
+    # a genuine (non-backend) error must NOT be retried
+    def broken(x):
+        raise ValueError("real bug")
+
+    wrapped2 = jaxtools.resilient_jit(lambda x: x, fallback=broken)
+    with pytest.raises(ValueError):
+        wrapped2(1)
+
+
+def test_transfer_timeout_is_poisoned_class():
+    """TransferTimeout must count as a poisoned-program signal so hung
+    device→host copies trigger the same recovery ladder as UNIMPLEMENTED."""
+    from kagomeperiodicbp_tpu.utils.jaxtools import TransferTimeout, _poisoned
+
+    assert _poisoned(TransferTimeout("hung"))
+    assert _poisoned(RuntimeError("UNIMPLEMENTED: TPU backend error"))
+    assert not _poisoned(ValueError("shape mismatch"))
+
+
+def test_guarded_wait_passthrough_off_axon():
+    """On healthy backends guarded_wait is a plain call (no thread)."""
+    from kagomeperiodicbp_tpu.utils import jaxtools
+
+    assert jaxtools.guarded_wait(lambda: 7) == 7
+
+
+def test_guarded_wait_times_out(monkeypatch):
+    import time
+
+    from kagomeperiodicbp_tpu.utils import jaxtools
+
+    monkeypatch.setattr(jaxtools, "on_axon", lambda: True)
+    with pytest.raises(jaxtools.TransferTimeout):
+        jaxtools.guarded_wait(lambda: time.sleep(5), timeout=0.2)
+    # errors inside the worker thread are relayed verbatim
+    def boom():
+        raise KeyError("inner")
+
+    with pytest.raises(KeyError):
+        jaxtools.guarded_wait(boom, timeout=5)
+
+
+def test_host_float_and_scalar_transfers():
+    import jax.numpy as jnp
+
+    from kagomeperiodicbp_tpu.utils.jaxtools import host_float, to_complex_scalar
+
+    assert host_float(jnp.full((), 2.5)) == 2.5
+    assert host_float(4) == 4.0
+    assert to_complex_scalar(jnp.asarray(1.0 + 2.0j)) == 1 + 2j

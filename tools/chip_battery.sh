@@ -31,8 +31,8 @@ log "[1/4] probe_bp_programs (split-program policy check)"
 KPBP_STAGE_ALARM=900 timeout 3600 python -u tools/probe_bp_programs.py > "logs/chip/bp_programs_$STAMP.log" 2>&1
 log "bp_programs exit=$?"
 
-log "[2/4] bench.py"
-timeout 1200 python -u bench.py > "logs/chip/bench_$STAMP.log" 2>&1
+log "[2/4] bench.py (extended budget: eager-tier TPU measurement is slow but real)"
+KPBP_BENCH_TIMEOUT=1500 timeout 2100 python -u bench.py > "logs/chip/bench_$STAMP.log" 2>&1
 log "bench exit=$? : $(grep -h '^{' logs/chip/bench_$STAMP.log | tail -1)"
 
 log "[3/4] chip_accuracy D=3 N=2"
