@@ -5,6 +5,8 @@ both CPU (x64) and TPU (f32/c64 — verified op-by-op on the chip).
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -56,6 +58,13 @@ def _cholqr_once(a: jnp.ndarray):
     u = jnp.finfo(a.real.dtype).eps
     shift = u * jnp.maximum(jnp.trace(g).real, 1e-300)
     g = g + shift * jnp.eye(k, dtype=g.dtype)
+    if os.environ.get("KPBP_USE_PALLAS", "0") == "1":
+        # fused chol+inversion kernel (one VMEM pass); Q = A·W† is one MXU
+        # matmul — replaces XLA's two loop-heavy HLO custom calls
+        from .pallas_kernels import chol_inv_pallas
+
+        l, w = chol_inv_pallas(g)
+        return a @ w.conj().T, l.conj().T
     l = jnp.linalg.cholesky(g)                     # G = L L†
     # Q = A·(L†)⁻¹  ⇔  Q† = L⁻¹ A†
     qh = solve_triangular(l, a.conj().T, lower=True)

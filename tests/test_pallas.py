@@ -24,3 +24,51 @@ def test_fused_tensor_pallas_real():
     ref = np.asarray(fused_tensor(cell.A))
     got = np.asarray(fused_tensor_pallas(cell.A, interpret=True))
     np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+@pytest.mark.parametrize("k", [6, 18, 37, 130])
+def test_chol_inv_pallas_matches_lapack(k):
+    """Fused chol+inv kernel vs jnp.linalg.cholesky / explicit inverse."""
+    import jax.numpy as jnp
+
+    from kagomeperiodicbp_tpu.ops.pallas_kernels import chol_inv_pallas
+
+    kb = jax.random.PRNGKey(k)
+    b = jax.random.normal(kb, (k, k)) + 1j * jax.random.normal(jax.random.fold_in(kb, 1), (k, k))
+    g = (b @ b.conj().T + k * jnp.eye(k)).astype(jnp.complex64)  # well-conditioned PSD
+
+    l, w = chol_inv_pallas(g, interpret=True)
+    l_ref = np.linalg.cholesky(np.asarray(g, dtype=np.complex128))
+    np.testing.assert_allclose(np.asarray(l), l_ref, atol=5e-4 * k)
+    # W really is L^-1
+    np.testing.assert_allclose(np.asarray(w) @ l_ref, np.eye(k), atol=5e-4)
+
+
+def test_chol_inv_pallas_real_dtype():
+    import jax.numpy as jnp
+
+    from kagomeperiodicbp_tpu.ops.pallas_kernels import chol_inv_pallas
+
+    b = jax.random.normal(jax.random.PRNGKey(3), (12, 12), jnp.float32)
+    g = b @ b.T + 12 * jnp.eye(12)
+    l, w = chol_inv_pallas(g, interpret=True)
+    np.testing.assert_allclose(np.asarray(w) @ np.asarray(l), np.eye(12), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(l) @ np.asarray(l).T, np.asarray(g), rtol=2e-4, atol=2e-3)
+
+
+def test_cholqr2_pallas_path(monkeypatch):
+    """cholqr2 routed through the pallas kernel: Q orthonormal, QR = A,
+    R upper-triangular with nonneg diagonal (same contract as LAPACK path)."""
+    import jax.numpy as jnp
+
+    from kagomeperiodicbp_tpu.ops import linalg
+
+    monkeypatch.setenv("KPBP_USE_PALLAS", "1")
+    a = (jax.random.normal(jax.random.PRNGKey(5), (90, 24))
+         + 1j * jax.random.normal(jax.random.PRNGKey(6), (90, 24))).astype(jnp.complex64)
+    q, r = linalg.cholqr2(a)
+    qn, rn = np.asarray(q), np.asarray(r)
+    np.testing.assert_allclose(qn.conj().T @ qn, np.eye(24), atol=2e-5)
+    np.testing.assert_allclose(qn @ rn, np.asarray(a), atol=2e-4)
+    assert np.allclose(rn, np.triu(rn), atol=2e-5)
+    assert np.all(np.real(np.diag(rn)) > -1e-6)

@@ -44,10 +44,14 @@ timeout 7200 python -u tools/bench_scaling.py 4 5 6 7 8 > "logs/chip/scaling_$ST
 log "scaling exit=$?"
 cat "logs/chip/scaling_$STAMP.log" >> "logs/chip/battery_$STAMP.log"
 
-log "[5/5] gram-linalg A/B (CholeskyQR2 + eigh-SVD vs Householder/Jacobi)"
+log "[5/6] gram-linalg A/B (CholeskyQR2 + eigh-SVD vs Householder/Jacobi)"
 KPBP_LINALG=gram timeout 3600 python -u tools/bench_scaling.py 4 5 6 > "logs/chip/scaling_gram_$STAMP.log" 2>&1
 log "gram scaling exit=$?"
 cat "logs/chip/scaling_gram_$STAMP.log" >> "logs/chip/battery_$STAMP.log"
+
+log "[6/6] pallas chol+inv kernel microbench (vs XLA cholesky+solve)"
+timeout 1200 python -u tools/bench_chol_kernel.py > "logs/chip/chol_kernel_$STAMP.log" 2>&1
+log "chol kernel exit=$? : $(grep -h '^{' logs/chip/chol_kernel_$STAMP.log | tail -1)"
 
 log "battery done"
 rm -f "$PIDFILE"
