@@ -30,6 +30,12 @@ c = (f + 1j * f.T).astype(jnp.complex64)
 
 # name -> (body producing `out`, uses)
 _PROGRAMS = {
+    # eager controls: apply_primitive compiles too, but through a different
+    # dispatch path — round-3 data (14:39 vs 15:07) suggests eager compiles
+    # can be healthy while EVERY jax.jit program of any size is poisoned
+    "eager_matmul_f32": "out = f @ f",
+    "eager_matmul_c64": "out = c @ c",
+    "eager_qr_c64": "out = jnp.linalg.qr(c)[0]",
     # dtype / chain length
     "jit_matmul_f32": "out = jax.jit(lambda a: a @ a)(f)",
     "jit_matmul_c64": "out = jax.jit(lambda a: a @ a)(c)",
@@ -101,21 +107,36 @@ def run_one(name: str, body: str, timeout: int = 240) -> dict:
             detail = tail[:120]
     except subprocess.TimeoutExpired:
         verdict, detail = "timeout", f"{timeout}s"
-    return {"program": name, "verdict": verdict,
+    return {"t": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "program": name, "verdict": verdict,
             "s": round(time.time() - t0, 1),
             **({"detail": detail} if detail else {})}
 
 
 def main():
+    # Poisoning is STOCHASTIC PER COMPILE (observed 14:51: a 1-op jitted f32
+    # matmul poisoned, the same program ran fine at 12:59) — so sample each
+    # program up to `attempts` times in fresh subprocesses and report how
+    # many compiles it took. The per-class success rate, not a binary
+    # boundary, is what sets the dispatch-granularity policy.
+    import os
+
+    attempts = int(os.environ.get("KPBP_POISON_ATTEMPTS", "3"))
     names = sys.argv[1:] or list(_PROGRAMS)
     results = []
     for name in names:
-        rec = run_one(name, _PROGRAMS[name])
+        rec = {}
+        for k in range(1, attempts + 1):
+            rec = run_one(name, _PROGRAMS[name])
+            rec["attempt"] = k
+            print(json.dumps(rec), flush=True)
+            if rec["verdict"] == "ok" or rec["verdict"] == "error":
+                break
         results.append(rec)
-        print(json.dumps(rec), flush=True)
-    ok = [r["program"] for r in results if r["verdict"] == "ok"]
+    ok = {r["program"]: r["attempt"] for r in results if r["verdict"] == "ok"}
     bad = [r["program"] for r in results if r["verdict"] != "ok"]
-    print(json.dumps({"summary": {"ok": ok, "not_ok": bad}}), flush=True)
+    print(json.dumps({"summary": {"ok_after_attempts": ok, "not_ok": bad}}),
+          flush=True)
 
 
 if __name__ == "__main__":
