@@ -36,7 +36,23 @@ def _use_pallas() -> bool:
     return os.environ.get("KPBP_USE_PALLAS", "0") == "1"
 
 
-def _fused_kernel_real(tr_ref, ti_ref, or_ref, oi_ref):
+def _compute_dtype(x: jnp.ndarray, interpret: bool, who: str):
+    """Kernel compute precision for input `x`: float32 normally; float64 when
+    the input is double precision AND we are in interpret mode (CPU). A
+    float64 input on a real TPU kernel would silently lose precision — the
+    repo's 1e-10 x64 numerics invariant — so that combination raises
+    (ADVICE r3: the old code always computed in f32 planes)."""
+    real_dtype = jnp.zeros((), x.dtype).real.dtype
+    if real_dtype == jnp.dtype(jnp.float64):
+        if not interpret:
+            raise TypeError(
+                f"{who}: float64/complex128 input requires interpret mode "
+                "(CPU); the TPU kernel computes in float32 planes")
+        return jnp.float64
+    return jnp.float32
+
+
+def _fused_kernel_real(tr_ref, ti_ref, or_ref, oi_ref, *, ct):
     """Compute Σ_d T[d,a,b,c,e]·conj(T[d,A,B,C,E]) with output laid out as
     [(aA),(bB),(cC),(eE)] — complex via explicit re/im (TPU pallas has no
     complex dtype support)."""
@@ -48,10 +64,10 @@ def _fused_kernel_real(tr_ref, ti_ref, or_ref, oi_ref):
     m_r = tr.reshape(d, D * D * D * D)
     m_i = ti.reshape(d, D * D * D * D)
     # T·T†: (r+ii)(r'-ii')ᵀ → real: r·r'ᵀ + i·i'ᵀ ; imag: i·r'ᵀ − r·i'ᵀ
-    rr = jnp.dot(m_r.T, m_r, preferred_element_type=jnp.float32)
-    ii = jnp.dot(m_i.T, m_i, preferred_element_type=jnp.float32)
-    ir = jnp.dot(m_i.T, m_r, preferred_element_type=jnp.float32)
-    ri = jnp.dot(m_r.T, m_i, preferred_element_type=jnp.float32)
+    rr = jnp.dot(m_r.T, m_r, preferred_element_type=ct)
+    ii = jnp.dot(m_i.T, m_i, preferred_element_type=ct)
+    ir = jnp.dot(m_i.T, m_r, preferred_element_type=ct)
+    ri = jnp.dot(m_r.T, m_i, preferred_element_type=ct)
     out_r = rr + ii
     out_i = ir - ri
     # reorder [abce, ABCE] → [(aA),(bB),(cC),(eE)]
@@ -75,16 +91,17 @@ def fused_tensor_pallas(t: jnp.ndarray, interpret: bool | None = None) -> jnp.nd
     p = D * D
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu",)
+    ct = _compute_dtype(t, interpret, "fused_tensor_pallas")
     is_complex = jnp.issubdtype(t.dtype, jnp.complexfloating)
-    tr = jnp.real(t).astype(jnp.float32)
-    ti = (jnp.imag(t) if is_complex else jnp.zeros_like(tr)).astype(jnp.float32)
+    tr = jnp.real(t).astype(ct)
+    ti = (jnp.imag(t) if is_complex else jnp.zeros_like(tr)).astype(ct)
 
     out_shape = (
-        jax.ShapeDtypeStruct((p, p, p, p), jnp.float32),
-        jax.ShapeDtypeStruct((p, p, p, p), jnp.float32),
+        jax.ShapeDtypeStruct((p, p, p, p), ct),
+        jax.ShapeDtypeStruct((p, p, p, p), ct),
     )
     out_r, out_i = pl.pallas_call(
-        _fused_kernel_real,
+        partial(_fused_kernel_real, ct=ct),
         out_shape=out_shape,
         interpret=interpret,
     )(tr, ti)
@@ -102,7 +119,7 @@ def fused_tensor_dispatch(t: jnp.ndarray) -> jnp.ndarray:
     return fused_tensor(t)
 
 
-def _chol_inv_kernel(gr_ref, gi_ref, lr_ref, li_ref, wr_ref, wi_ref):
+def _chol_inv_kernel(gr_ref, gi_ref, lr_ref, li_ref, wr_ref, wi_ref, *, ct):
     """G = L·L† (complex Cholesky) and W = L⁻¹, both lower-triangular, in one
     VMEM pass. Complex via explicit re/im planes (no complex registers on
     TPU). The j-loops are sequential by nature (factorization data
@@ -112,24 +129,30 @@ def _chol_inv_kernel(gr_ref, gi_ref, lr_ref, li_ref, wr_ref, wi_ref):
     Padding contract: the caller pads G to tile size with an IDENTITY block
     (block-diagonal), so L and W are block-diagonal too and the top-left
     (k, k) slice is exactly the unpadded answer."""
+    # NO dynamic_slice / dynamic_update_slice anywhere: those primitives have
+    # no Pallas TPU lowering (observed on hardware: "Unimplemented primitive
+    # in Pallas TPU lowering for KernelType.TC: dynamic_slice"). Every
+    # row/column/diagonal access is a masked full-tile reduction and every
+    # write a masked select — same O(n²)-per-step VPU work, lowerable.
     n = gr_ref.shape[0]
     gr, gi = gr_ref[:], gi_ref[:]
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
-    tiny = jnp.float32(1e-30)
-    zeros = jnp.zeros((n, n), jnp.float32)
+    tiny = ct(1e-300 if ct == jnp.float64 else 1e-30)
+    zeros = jnp.zeros((n, n), ct)
 
     def chol_step(j, carry):
         gr, gi, lr, li = carry
-        gjj = jax.lax.dynamic_slice(gr, (j, j), (1, 1))[0, 0]
+        at_col = cols == j                                   # [1, n] mask
+        gjj = jnp.sum(jnp.where((rows == j) & at_col, gr, 0.0))
         dinv = jax.lax.rsqrt(jnp.maximum(gjj, tiny))
-        cr = jax.lax.dynamic_slice(gr, (0, j), (n, 1))
-        ci = jax.lax.dynamic_slice(gi, (0, j), (n, 1))
+        cr = jnp.sum(jnp.where(at_col, gr, 0.0), axis=1, keepdims=True)
+        ci = jnp.sum(jnp.where(at_col, gi, 0.0), axis=1, keepdims=True)
         keep = rows >= j
-        cr = jnp.where(keep, cr * dinv, 0.0)
+        cr = jnp.where(keep, cr * dinv, 0.0)                 # [n, 1]
         ci = jnp.where(keep, ci * dinv, 0.0)
-        lr = jax.lax.dynamic_update_slice(lr, cr, (0, j))
-        li = jax.lax.dynamic_update_slice(li, ci, (0, j))
+        lr = jnp.where(at_col, cr, lr)                       # write column j
+        li = jnp.where(at_col, ci, li)
         # trailing update G -= c·c† (rank-1, broadcast outer product on VPU);
         # rows/cols ≤ j become garbage but are never read again
         crT = jnp.transpose(cr)
@@ -146,20 +169,21 @@ def _chol_inv_kernel(gr_ref, gi_ref, lr_ref, li_ref, wr_ref, wi_ref):
         # forward substitution, one row per step:
         # W[j, :] = (e_j − L[j, :j] · W[:j, :]) / L[j, j]
         wr, wi = carry
-        rr = jax.lax.dynamic_slice(lr, (j, 0), (1, n))
-        ri = jax.lax.dynamic_slice(li, (j, 0), (1, n))
+        at_row = rows == j                                   # [n, 1] mask
+        rr = jnp.sum(jnp.where(at_row, lr, 0.0), axis=0, keepdims=True)
+        ri = jnp.sum(jnp.where(at_row, li, 0.0), axis=0, keepdims=True)
         keep = cols < j
-        rr = jnp.where(keep, rr, 0.0)
+        rr = jnp.where(keep, rr, 0.0)                        # [1, n]
         ri = jnp.where(keep, ri, 0.0)
-        accr = (jnp.dot(rr, wr, preferred_element_type=jnp.float32)
-                - jnp.dot(ri, wi, preferred_element_type=jnp.float32))
-        acci = (jnp.dot(rr, wi, preferred_element_type=jnp.float32)
-                + jnp.dot(ri, wr, preferred_element_type=jnp.float32))
-        ej = jnp.where(cols == j, jnp.float32(1.0), jnp.float32(0.0))
-        ljj = jax.lax.dynamic_slice(lr, (j, j), (1, 1))[0, 0]
+        accr = (jnp.dot(rr, wr, preferred_element_type=ct)
+                - jnp.dot(ri, wi, preferred_element_type=ct))
+        acci = (jnp.dot(rr, wi, preferred_element_type=ct)
+                + jnp.dot(ri, wr, preferred_element_type=ct))
+        ej = jnp.where(cols == j, ct(1.0), ct(0.0))
+        ljj = jnp.sum(jnp.where(at_row & (cols == j), lr, 0.0))
         inv = 1.0 / jnp.maximum(ljj, tiny)
-        wr = jax.lax.dynamic_update_slice(wr, (ej - accr) * inv, (j, 0))
-        wi = jax.lax.dynamic_update_slice(wi, (0.0 - acci) * inv, (j, 0))
+        wr = jnp.where(at_row, (ej - accr) * inv, wr)        # write row j
+        wi = jnp.where(at_row, (0.0 - acci) * inv, wi)
         return wr, wi
 
     wr, wi = jax.lax.fori_loop(0, n, inv_step, (zeros, zeros))
@@ -170,6 +194,9 @@ def _chol_inv_kernel(gr_ref, gi_ref, lr_ref, li_ref, wr_ref, wi_ref):
 def chol_inv_pallas(g: jnp.ndarray, interpret: bool | None = None):
     """Fused chol(G) + W = L⁻¹ for a hermitian PSD G [k, k] (complex or
     real). Returns (L, W) in G's dtype, lower-triangular, G = L·L†.
+    Compute precision matches G (f64 planes in interpret mode for
+    f64/c128 inputs; on a real TPU those dtypes raise — the kernel is
+    f32-planes there).
 
     The caller composes CholeskyQR from these with two MXU matmuls:
     G = A†A (before), Q = A·W† (after) — see ops/linalg.cholqr2."""
@@ -179,16 +206,17 @@ def chol_inv_pallas(g: jnp.ndarray, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.devices()[0].platform not in ("tpu",)
 
-    gr = jnp.real(g).astype(jnp.float32)
-    gi = (jnp.imag(g) if is_complex else jnp.zeros_like(gr)).astype(jnp.float32)
+    ct = _compute_dtype(g, interpret, "chol_inv_pallas")
+    gr = jnp.real(g).astype(ct)
+    gi = (jnp.imag(g) if is_complex else jnp.zeros_like(gr)).astype(ct)
     # identity pad block keeps the factorization block-diagonal
-    pad_eye = jnp.eye(n, dtype=jnp.float32)
+    pad_eye = jnp.eye(n, dtype=ct)
     gr_p = pad_eye.at[:k, :k].set(gr)
-    gi_p = jnp.zeros((n, n), jnp.float32).at[:k, :k].set(gi)
+    gi_p = jnp.zeros((n, n), ct).at[:k, :k].set(gi)
 
-    out_shape = tuple(jax.ShapeDtypeStruct((n, n), jnp.float32) for _ in range(4))
+    out_shape = tuple(jax.ShapeDtypeStruct((n, n), ct) for _ in range(4))
     lr, li, wr, wi = pl.pallas_call(
-        _chol_inv_kernel,
+        partial(_chol_inv_kernel, ct=ct),
         out_shape=out_shape,
         interpret=interpret,
     )(gr_p, gi_p)

@@ -56,27 +56,28 @@ class TransferTimeout(RuntimeError):
     runtime UNIMPLEMENTED)."""
 
 
-_ON_AXON: bool | None = None
+_ON_AXON: dict = {}  # keyed by the platform-config tuple (ADVICE r3: a later
+# jax.config.update("jax_platforms", ...) must not leave hang guards stuck in
+# the previous mode)
 
 
 def on_axon() -> bool:
     """True when the experimental axon TPU backend is active. The devices
     report platform 'tpu' (not 'axon') — the config/env string is the only
     reliable signal."""
-    global _ON_AXON
-    if _ON_AXON is None:
-        import jax
+    import jax
 
-        plats = "%s,%s" % (getattr(jax.config, "jax_platforms", "") or "",
-                           os.environ.get("JAX_PLATFORMS", ""))
-        if "axon" not in plats:
-            _ON_AXON = False
+    key = (getattr(jax.config, "jax_platforms", "") or "",
+           os.environ.get("JAX_PLATFORMS", ""))
+    if key not in _ON_AXON:
+        if "axon" not in "%s,%s" % key:
+            _ON_AXON[key] = False
         else:
             try:
-                _ON_AXON = jax.devices()[0].platform in ("axon", "tpu")
+                _ON_AXON[key] = jax.devices()[0].platform in ("axon", "tpu")
             except Exception:
                 return False  # backend not up yet — don't cache
-    return _ON_AXON
+    return _ON_AXON[key]
 
 
 def guarded_wait(fn, timeout: float | None = None):
@@ -152,6 +153,10 @@ def to_complex_scalar(x) -> complex:
 # diagnostics read this to tag their output honestly)
 EAGER_EVENTS: list = []
 
+# bumped whenever any wrapper calls jax.clear_caches(); wrappers re-validate
+# (probe a real device→host transfer) when their stored generation is stale
+_CACHE_GENERATION: int = 0
+
 
 def _eager_fallback_enabled() -> bool:
     return os.environ.get("KPBP_EAGER_FALLBACK", "1") != "0"
@@ -221,6 +226,11 @@ def resilient_jit(fn, max_retries: int | None = None, fallback=None, **jit_kwarg
                     "(%s) — jax.clear_caches() and retry %d/%d",
                     repr(exc)[:90], attempt, retries)
                 jax.clear_caches()
+                # every other resilient_jit wrapper's validated executable
+                # was just evicted too; bump the generation so each re-probes
+                # its fresh recompile on next use (ADVICE r3)
+                global _CACHE_GENERATION
+                _CACHE_GENERATION += 1
 
     def call(*args, **kwargs):
         if state["eager"]:
@@ -229,10 +239,11 @@ def resilient_jit(fn, max_retries: int | None = None, fallback=None, **jit_kwarg
         while True:
             try:
                 out = state["jitted"](*args, **kwargs)
-                if not state["validated"]:
+                if not state["validated"] or state.get("generation") != _CACHE_GENERATION:
                     guarded_wait(lambda: jax.block_until_ready(out))
                     _probe(out)
                     state["validated"] = True
+                    state["generation"] = _CACHE_GENERATION
                 return out
             except Exception as exc:  # noqa: BLE001
                 if not _poisoned(exc):

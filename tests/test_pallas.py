@@ -39,9 +39,35 @@ def test_chol_inv_pallas_matches_lapack(k):
 
     l, w = chol_inv_pallas(g, interpret=True)
     l_ref = np.linalg.cholesky(np.asarray(g, dtype=np.complex128))
-    np.testing.assert_allclose(np.asarray(l), l_ref, atol=5e-4 * k)
+    # f32 rounding accumulates like sqrt(k), not k (ADVICE r3: the old
+    # linear-in-k atol was 0.065 at k=130 — loose enough to hide real bugs);
+    # also bound the relative error against |L|'s scale.
+    scale = float(np.abs(l_ref).max())
+    np.testing.assert_allclose(np.asarray(l), l_ref,
+                               atol=5e-4 * np.sqrt(k), rtol=2e-4 * scale)
     # W really is L^-1
     np.testing.assert_allclose(np.asarray(w) @ l_ref, np.eye(k), atol=5e-4)
+
+
+def test_chol_inv_pallas_f64_interpret():
+    """f64/c128 inputs keep double precision in interpret mode (ADVICE r3:
+    the kernel used to silently downcast to f32 planes)."""
+    import jax.numpy as jnp
+
+    from kagomeperiodicbp_tpu.ops.pallas_kernels import chol_inv_pallas
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("needs x64")
+    k = 24
+    kb = jax.random.PRNGKey(7)
+    b = (jax.random.normal(kb, (k, k)) +
+         1j * jax.random.normal(jax.random.fold_in(kb, 1), (k, k)))
+    g = (b @ b.conj().T + k * jnp.eye(k)).astype(jnp.complex128)
+    l, w = chol_inv_pallas(g, interpret=True)
+    assert np.asarray(l).dtype == np.complex128
+    l_ref = np.linalg.cholesky(np.asarray(g))
+    np.testing.assert_allclose(np.asarray(l), l_ref, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w) @ l_ref, np.eye(k), atol=1e-11)
 
 
 def test_chol_inv_pallas_real_dtype():

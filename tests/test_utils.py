@@ -177,6 +177,22 @@ def test_degraded_tier_retries_poisoned_eager_ops(monkeypatch):
         wrapped2(1)
 
 
+def test_cache_clear_forces_revalidation():
+    """ADVICE r3: after any wrapper evicts the process-wide executable cache,
+    every OTHER validated wrapper must re-probe its (recompiled) program on
+    next use instead of trusting the stale validated flag."""
+    from kagomeperiodicbp_tpu.utils import jaxtools
+
+    wrapped = jaxtools.resilient_jit(lambda x: x + 1)
+    assert int(wrapped(1)) == 2
+    st = wrapped._state
+    assert st["validated"] and st["generation"] == jaxtools._CACHE_GENERATION
+
+    jaxtools._CACHE_GENERATION += 1          # what _run_degraded does after clear_caches()
+    assert int(wrapped(2)) == 3              # must re-probe, not skip validation
+    assert st["generation"] == jaxtools._CACHE_GENERATION
+
+
 def test_transfer_timeout_is_poisoned_class():
     """TransferTimeout must count as a poisoned-program signal so hung
     device→host copies trigger the same recovery ladder as UNIMPLEMENTED."""
