@@ -101,8 +101,13 @@ def main():
         # minutes of measurement so vs_baseline compares like with like
         try:
             os.setpriority(os.PRIO_PROCESS, 0, -10)
-        except (OSError, AttributeError):
-            pass
+            os.environ["KPBP_BENCH_CONTENDED"] = "0"
+        except (OSError, AttributeError) as exc:
+            # unprivileged: nice'd physics runs may still steal the core —
+            # mark the record so skewed CPU ratios are distinguishable
+            print(f"bench: setpriority failed ({exc!r}); "
+                  "CPU measurement may be contended", file=sys.stderr)
+            os.environ["KPBP_BENCH_CONTENDED"] = "1"
     import jax.numpy as jnp
 
     from kagomeperiodicbp_tpu.utils.jaxtools import enable_compilation_cache
@@ -143,6 +148,42 @@ def main():
         "mode": "eager-fallback" if EAGER_EVENTS else "jit",
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
+    if os.environ.get("KPBP_BENCH_CONTENDED") == "1":
+        rec["contended"] = True
+
+    # --- second metric: ITE edge-update steps/second (BASELINE.json names
+    # "BP sweeps/sec + ITE steps/sec"; reference work unit _tn_update.py:165).
+    # Our step does strictly MORE than the reference's (it rebuilds the edge
+    # environment from the messages; theirs starts from a pre-reduced ModeTN),
+    # so the ratio is conservative.  A failure here must not lose the BP
+    # number — attach an error field instead.
+    try:
+        from kagomeperiodicbp_tpu.enums import UnitCellFlavor, UpdateEdge
+        from kagomeperiodicbp_tpu.physics import hamiltonians
+
+        chi_env = 2 * D * D + 10  # production env chi (ref global_config.py:43-48)
+        edge = UpdateEdge(UnitCellFlavor.A, UnitCellFlavor.B)
+        upd = F.edge_update(N, D, chi_env, CHI, edge, 10, True)
+        h = jnp.asarray(hamiltonians.heisenberg_afm(), dtype)
+        dt_g = jnp.asarray(1e-3, jnp.zeros((), dtype).real.dtype)
+        cells = (cell.A, cell.B, cell.C)
+        out = upd(cells, sites, h, dt_g)  # warmup/compile + validate
+        jax.block_until_ready(out[1])
+        n_steps = 1 if EAGER_EVENTS else 10
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            out = upd(cells, sites, h, dt_g)
+        jax.block_until_ready(out[1])
+        ite_dt = (time.perf_counter() - t0) / n_steps
+        rec["ite_steps_per_second"] = round(1.0 / ite_dt, 4)
+        try:
+            with open(REF_BASELINE) as f:
+                ref_ite = float(json.load(f)["seconds_per_ite_step"])
+            rec["ite_vs_baseline"] = round(ref_ite / ite_dt, 3)
+        except Exception:
+            pass
+    except Exception as exc:  # noqa: BLE001
+        rec["ite_error"] = repr(exc)[:160]
     os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
     # an eager-fallback record must not shadow a previous full-speed jit
     # record in the fallback store, and must not *headline* over one either:
