@@ -13,7 +13,8 @@ traced/dispatched.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, Tuple
+import contextlib
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +23,28 @@ from ..networks.graph import Source
 from ..planner.compiler import Plan, Step
 from .linalg import qr_stable, svd_trunc, svd_trunc_auto
 from .mps import MPS
+
+# Optional per-site sharding hook (χ-sharded contraction, parallel/chi_shard):
+# when set, every frontier site is passed through it at the end of each plan
+# step. The hook is trace-time state — it must be installed around the trace
+# of a jitted executor, and emits `with_sharding_constraint` ops so GSPMD
+# partitions the swallow contractions over the mesh. (The TPU-native
+# equivalent of the reference's dead MPI block-BP intent,
+# /root/reference/src/libs/_blockbp/functions.py:609: one boundary-MPS
+# contraction spread over devices, collectives over ICI.)
+_SITE_CONSTRAINT: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+
+
+@contextlib.contextmanager
+def site_constraint(fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]]):
+    """Install `fn` as the frontier-site sharding hook for the duration."""
+    global _SITE_CONSTRAINT
+    prev = _SITE_CONSTRAINT
+    _SITE_CONSTRAINT = fn
+    try:
+        yield
+    finally:
+        _SITE_CONSTRAINT = prev
 
 
 class Frontier:
@@ -318,6 +341,9 @@ def apply_step(fr: Frontier, plan: Plan, step: Step, raw: jnp.ndarray,
                 fr.truncate_window(0, len(fr.sites))
         elif fr.max_bond_in(s, s + n_out) > plan.chi:
             fr.truncate_window(s, s + n_out)
+
+    if _SITE_CONSTRAINT is not None:
+        fr.sites = [_SITE_CONSTRAINT(x) for x in fr.sites]
 
 
 def _fetch_raw(plan: Plan, step: Step, fetch: Callable[[Source], jnp.ndarray]):
