@@ -310,6 +310,7 @@ def full_ite(
     save_best_store: bool = False,
     measurement_N: Optional[int] = None,
     measurement_chi_factor: float = 1.0,
+    measure_dtype=None,
     plots=None,
     progress=None,
 ) -> Tuple[float, UnitCell, ITETracker]:
@@ -348,6 +349,8 @@ def full_ite(
             last_dt = dt
             if config.always_use_lowest_energy_state and block_best[1] is not None:
                 cell = block_best[1]
+                if measure_dtype is not None and cell.A.dtype != dtype:
+                    cell = cell.astype(dtype)  # back to the working precision
             block_best = (float("inf"), None)
             no_improve = 0
             skip_until_new_dt = False
@@ -422,6 +425,15 @@ def full_ite(
                 bp_m = bp_seg.for_measurements(measurement_chi_factor)
                 chi_m = int(chi_seg * measurement_chi_factor)
                 cell_m = cell.force_zero_rotation()
+                if measure_dtype is not None and cell_m.A.dtype != measure_dtype:
+                    # mixed-precision mode: optimize in the working dtype
+                    # (c64 — fast compiles, chip-safe), MEASURE in f64 —
+                    # the segment-boundary analog of the reference's
+                    # measurement-time config hardening (run_ite.py:49-55)
+                    import dataclasses as _dc2
+
+                    cell_m = cell_m.astype(measure_dtype)
+                    bp_m = _dc2.replace(bp_m, dtype=measure_dtype)
                 messages_m, bst = robust_belief_propagation(cell_m, None, bp_m, n_m)
                 # measure with the field OFF (reference: the field func is
                 # called with delta_t=None → 0 at measurement time)

@@ -50,6 +50,11 @@ def main(argv=None):
     p.add_argument("--bp-every-edge", action="store_true")
     p.add_argument("--noise", type=float, default=None)
     p.add_argument("--dtype", default="complex128", choices=["complex64", "complex128", "float32", "float64"])
+    p.add_argument("--optimize-dtype", default=None,
+                   choices=["complex64", "complex128", "float32", "float64"],
+                   help="mixed precision: run BP+ITE segments in this dtype, "
+                        "measure in --dtype (attacks the x64 compile wall; "
+                        "chip-safe since x64 hangs the axon compiler)")
     p.add_argument("--platform", default=None, help="cpu | tpu (default: as configured)")
     p.add_argument("--out", default="data/unit_cells", help="output folder")
     p.add_argument("--measure-n", type=int, default=None,
@@ -101,10 +106,18 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
     log = logging.getLogger("run_ite")
 
-    dtype = dict(
+    _DTYPES = dict(
         complex64=jnp.complex64, complex128=jnp.complex128,
         float32=jnp.float32, float64=jnp.float64,
-    )[args.dtype]
+    )
+    measure_dtype = None
+    if args.optimize_dtype and args.optimize_dtype != args.dtype:
+        # mixed precision: the working dtype is the optimize one; --dtype
+        # becomes the measurement dtype (f64 measurements, c64 segments)
+        measure_dtype = _DTYPES[args.dtype]
+        dtype = _DTYPES[args.optimize_dtype]
+    else:
+        dtype = _DTYPES[args.dtype]
 
     steps = default_time_steps(args.dt_start, args.dt_stop, args.steps_per_dt)
     if args.steps is not None:
@@ -203,6 +216,7 @@ def main(argv=None):
         bp_config=config.bp, logger=log, tracker=tracker, dtype=dtype,
         measurement_N=args.measure_n or args.N + 1,
         measurement_chi_factor=args.measure_chi_factor,
+        measure_dtype=measure_dtype,
         measure_every=args.measure_every,
         save_best_store=not args.no_best_store,
         plots=_make_plots(args, ham),

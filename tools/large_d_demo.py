@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Large-D end-to-end capability demo: BP convergence + ONE ITE edge update
+at a given bond dimension, with wall-clock and peak-RSS recorded.
+
+The evidence the round-3 verdict asked for (#1): the reference plans RAM to
+D≥8 (/root/reference/scripts/condor/send_ite.py:44-56 — D=7: 50 GB, D≥8:
+64 GB on their cluster); this demonstrates the same work unit executing
+here, with single-layer swallowing (reference bubblecon.py:1855) auto-on at
+D≥6 and the production χ=2D² message bond.
+
+Usage: python tools/large_d_demo.py D [N] [--platform cpu|axon] [--f64]
+       [--sweeps K] [--chi-factor F]
+
+Emits one JSON line:
+  {"D", "N", "chi", "dtype", "bp_sweeps", "bp_err", "s_per_sweep",
+   "ite_step_s", "energy", "peak_rss_gb", "single_layer", "backend"}
+
+Default dtype is complex64: the x64 XLA:CPU compile wall (ROADMAP) makes
+f64 first-runs cost hours at D≥5, and the chip cannot run x64 at all; the
+c64-vs-f64 accuracy delta is quantified separately (tools/chip_accuracy.py,
+BENCHMARKS.md mixed-precision section).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("D", type=int)
+    ap.add_argument("N", type=int, nargs="?", default=2)
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--sweeps", type=int, default=30)
+    ap.add_argument("--chi-factor", type=float, default=2.0,
+                    help="chi_msg = chi_factor * D^2 (reference: 2D^2)")
+    ap.add_argument("--single-layer", type=int, default=None,
+                    help="force single-layer mode on (1) / off (0); default auto (D>=6)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from kagomeperiodicbp_tpu.algo import bp as BP
+    from kagomeperiodicbp_tpu.algo.ite import ITEConfig, ite_update_edge
+    from kagomeperiodicbp_tpu.config import BPConfig
+    from kagomeperiodicbp_tpu.enums import UnitCellFlavor, UpdateEdge
+    from kagomeperiodicbp_tpu.networks.unit_cell import UnitCell
+    from kagomeperiodicbp_tpu.physics.hamiltonians import heisenberg_afm
+    from kagomeperiodicbp_tpu.utils.jaxtools import enable_compilation_cache
+
+    enable_compilation_cache()
+    D, N = args.D, args.N
+    dtype = jnp.complex128 if args.f64 else jnp.complex64
+    chi_msg = int(args.chi_factor * D * D)
+    chi_env = chi_msg + 10                     # reference: chi = 2D²+10
+    single = None if args.single_layer is None else bool(args.single_layer)
+
+    cell = UnitCell.random(d=2, D=D, key=jax.random.PRNGKey(0), dtype=dtype)
+    cfg = BPConfig(trunc_dim=chi_msg, bubble_trunc_dim=chi_env,
+                   max_iterations=args.sweeps, msg_diff_terminate=1e-6,
+                   single_layer=single, dtype=dtype)
+
+    print(f"large_d_demo: D={D} N={N} chi_msg={chi_msg} chi_env={chi_env} "
+          f"dtype={jnp.zeros((), dtype).dtype} platform={jax.devices()[0].platform}",
+          flush=True)
+
+    t0 = time.perf_counter()
+    msgs, stats = BP.belief_propagation(cell, None, cfg, N)
+    bp_s = time.perf_counter() - t0
+    print(f"  BP: {stats.iterations} sweeps in {bp_s:.1f}s "
+          f"({bp_s / max(stats.iterations, 1):.2f} s/sweep incl. compile), "
+          f"err={stats.final_error:.2e}", flush=True)
+
+    h = heisenberg_afm()
+    edge = UpdateEdge(UnitCellFlavor.A, UnitCellFlavor.B)
+    ite_cfg = ITEConfig(hamiltonian=heisenberg_afm)
+    t0 = time.perf_counter()
+    new_cell, energy, health = ite_update_edge(
+        cell, msgs, N, chi_env, chi_msg, edge, h, 1e-3, ite_cfg)
+    ite_s = time.perf_counter() - t0
+    peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    print(f"  ITE edge update: {ite_s:.1f}s (incl. compile), "
+          f"energy={energy:.6f}, health={health}", flush=True)
+
+    rec = {
+        "D": D, "N": N, "chi": chi_msg, "chi_env": chi_env,
+        "dtype": str(jnp.zeros((), dtype).dtype),
+        "bp_sweeps": stats.iterations, "bp_err": float(stats.final_error),
+        "s_per_sweep": round(bp_s / max(stats.iterations, 1), 3),
+        "bp_total_s": round(bp_s, 1),
+        "ite_step_s": round(ite_s, 1),
+        "energy": round(float(energy), 6),
+        "peak_rss_gb": round(peak_gb, 2),
+        "single_layer": bool(cfg.single_layer if cfg.single_layer is not None
+                             else D >= 6),
+        "backend": jax.devices()[0].platform,
+    }
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()
