@@ -8,7 +8,14 @@ import os
 # jax.config.update is the reliable override (CPU client is created lazily).
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+if "parallel_codegen" not in flags:
+    # suite-stability experiment for the ~160-test XLA:CPU compiler crash
+    # (scripts/run_tests.sh header): serialize LLVM codegen — the crash is a
+    # segfault inside backend_compile_and_load after many compiles in one
+    # process, consistent with a codegen-thread resource issue
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
