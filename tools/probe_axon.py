@@ -33,6 +33,14 @@ def main():
         # single executable slipping through
         z = jax.jit(lambda a: (a @ a.T).sum())(jnp.ones((96, 32), jnp.float32))
         jax.block_until_ready(z)
+        # the poisoned state has been observed to pass tiny f32 matmul jits
+        # while failing (a) multi-op complex64 programs and (b) any
+        # device→host transfer — exactly what BP programs need. Gate on both
+        # so the battery doesn't burn an hour of host CPU per false positive.
+        c = jnp.ones((32, 32), jnp.complex64)
+        w = jax.jit(lambda a: (a @ a.conj().T) + a.sum())(c)
+        jax.block_until_ready(w)
+        float(jnp.real(z))  # device→host transfer must round-trip
         plat = jax.devices()[0].platform
     except Exception as exc:  # noqa: BLE001
         print(json.dumps({"axon": "down", "reason": repr(exc)[:160]}))
