@@ -54,6 +54,16 @@ class BPConfig:
     msg_diff_terminate: float = 1e-10
     msg_diff_good_enough: float = 1e-5
     allowed_retries: int = 2
+    # hard ceiling on the message χ that retry escalation and downstream
+    # config hardening may reach (None = 4× the trunc_dim at robust-BP
+    # entry). Without a ceiling, a BP whose error floors just above
+    # `good_enough` (e.g. the complex64 precision floor) escalates ×1.5 per
+    # retry AND per edge update via `_harden_bp_config_if_struggled`,
+    # compounding across the ~55 edge updates of an ITE segment into
+    # χ ~ thousands and hours-long XLA executions (observed wedging a D=2
+    # run for 2 h). The reference has no cap because its float64 BP rarely
+    # fails at a converged state; a dtype-aware implementation needs one.
+    trunc_dim_cap: Optional[int] = None
     damping: Optional[float] = None     # fraction of the OLD message kept
     hermitize_when_finished: bool = True
     init_model: str = "uniform"         # 'uniform' | 'random'
@@ -86,6 +96,10 @@ class BPConfig:
             trunc_dim=int(self.trunc_dim * chi_factor),
             msg_diff_terminate=self.msg_diff_terminate / 2,
             allowed_retries=self.allowed_retries + 1,
+            trunc_dim_cap=(
+                None if self.trunc_dim_cap is None
+                else int(self.trunc_dim_cap * chi_factor)
+            ),
         )
 
 
@@ -232,9 +246,22 @@ def robust_belief_propagation(
     N: int,
 ) -> Tuple[MessageDict, BPStats]:
     """Retry loop with χ escalation ×1.5 and fresh random messages on failure
-    (reference: belief_propagation.py:284-332)."""
+    (reference: belief_propagation.py:284-332). Deviations from the
+    reference, both dtype-safety measures:
+
+    * escalation respects ``config.trunc_dim_cap`` (default 4× the entry
+      trunc_dim) and stops early when a retry fails to improve the best
+      error by ≥30% — a plateau means the error is precision-limited (the
+      float32 distance floor), not truncation-limited, so more χ only burns
+      compile/execute time;
+    * on overall failure the BEST attempt's messages are returned, not the
+      last attempt's (the last attempt started from fresh *random* messages
+      — feeding those to the ITE update would discard the converged warm
+      state).
+    """
+    cap = config.trunc_dim_cap or 4 * config.trunc_dim
     cfg = config
-    last_stats = None
+    best: Optional[Tuple[float, MessageDict, BPStats]] = None
     for attempt in range(config.allowed_retries + 1):
         msgs_in = messages if attempt == 0 else None
         out, stats = belief_propagation(cell, msgs_in, cfg, N)
@@ -242,13 +269,21 @@ def robust_belief_propagation(
         stats.final_config = cfg
         if stats.success:
             return out, stats
-        last_stats = stats
+        plateaued = best is not None and stats.final_error >= 0.7 * best[0]
+        if best is None or stats.final_error < best[0]:
+            best = (stats.final_error, out, stats)
+        if plateaued or cfg.trunc_dim >= cap:
+            break
         cfg = dataclasses.replace(
             cfg,
-            trunc_dim=int(cfg.trunc_dim * 1.5) + 1,
-            bubble_trunc_dim=int(cfg.chi_bubble * 1.5) + 1,
+            trunc_dim=min(cap, int(cfg.trunc_dim * 1.5) + 1),
+            bubble_trunc_dim=min(
+                int(cap * 1.33) + 1, int(cfg.chi_bubble * 1.5) + 1
+            ),
             max_iterations=cfg.max_iterations + 11,
             init_model="random",
             seed=cfg.seed + 1,
         )
-    return out, last_stats  # type: ignore[return-value]
+    assert best is not None
+    _, out, stats = best
+    return out, stats

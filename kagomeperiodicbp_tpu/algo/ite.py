@@ -218,12 +218,20 @@ def _harden_bp_config_if_struggled(
 ) -> Tuple[BPConfig, int]:
     """After a BP run that never reached `good_enough`, adopt the escalated
     message χ the robust wrapper ended at, and widen the contraction χ to
-    stay ahead of it (reference: main.py:200 `_harden_bp_config_if_struggled`)."""
+    stay ahead of it (reference: main.py:200 `_harden_bp_config_if_struggled`).
+
+    The adopted χ is clamped to ``bp_config.trunc_dim_cap``: hardening runs
+    once per edge update (~55× per segment), so without an absolute ceiling
+    a persistently-failing BP (e.g. error floored at the complex64
+    precision limit) compounds ×1.5-per-retry escalation into χ ~ thousands
+    within one segment."""
     import dataclasses as _dc
 
     if stats.success or stats.final_config is None:
         return bp_config, chi
     new_trunc = stats.final_config.trunc_dim
+    if bp_config.trunc_dim_cap is not None:
+        new_trunc = min(new_trunc, bp_config.trunc_dim_cap)
     if new_trunc > bp_config.trunc_dim:
         bp_config = _dc.replace(bp_config, trunc_dim=new_trunc)
         log.debug("bp trunc_dim hardened to %d", new_trunc)
@@ -329,6 +337,12 @@ def full_ite(
     D = cell.D
     chi = chi or 2 * D * D + 10       # reference: global_config.py:43-48
     bp_config = bp_config or BPConfig(trunc_dim=2 * D * D, dtype=dtype)
+    if bp_config.trunc_dim_cap is None:
+        # absolute ceiling for per-edge hardening + retry escalation across
+        # the whole run (see _harden_bp_config_if_struggled)
+        import dataclasses as _dc0
+
+        bp_config = _dc0.replace(bp_config, trunc_dim_cap=4 * bp_config.trunc_dim)
     tracker = tracker or ITETracker()
 
     h = config.hamiltonian() if config.hamiltonian_field is None else None

@@ -53,6 +53,87 @@ def test_harden_bp_config_if_struggled():
     assert cfg.trunc_dim == 12 and chi == 18
 
 
+def test_harden_bp_config_respects_cap():
+    """Hardening must clamp the adopted χ to trunc_dim_cap: it runs once per
+    edge update (~55×/segment), so a persistently-failing BP (e.g. error
+    floored at the c64 precision limit) otherwise compounds ×1.5 escalation
+    into χ ~ thousands within one segment (observed: 2 h XLA wedge at D=2)."""
+    import logging
+
+    log = logging.getLogger("t")
+    base = BPConfig(trunc_dim=8, trunc_dim_cap=32)
+    cfg, chi = base, 18
+    for _ in range(60):  # one segment's worth of always-failing edge updates
+        escalated = BPStats(
+            success=False, final_config=BPConfig(trunc_dim=int(cfg.trunc_dim * 2.5) + 1)
+        )
+        cfg, chi = I._harden_bp_config_if_struggled(cfg, chi, escalated, log)
+    assert cfg.trunc_dim <= 32
+    assert chi <= int(32 * 1.33)
+
+
+def test_full_ite_seeds_trunc_dim_cap(monkeypatch):
+    """full_ite must install a default χ ceiling (4× trunc_dim) so per-edge
+    hardening is bounded even for user-supplied BPConfigs without one."""
+    captured = {}
+
+    def fake_robust_bp(cell, messages, bp_cfg, N):
+        captured["cfg"] = bp_cfg
+        raise I.ITEError("stop here")  # abort the segment immediately
+
+    monkeypatch.setattr(I, "robust_belief_propagation", fake_robust_bp)
+    cfg = I.ITEConfig(
+        hamiltonian=hamiltonians.heisenberg_afm,
+        time_steps=[1e-3],
+        num_total_errors_threshold=1,  # first error aborts the run
+        seed=0,
+    )
+    with pytest.raises(I.ITEError):
+        I.full_ite(_tiny_cell(), cfg, N=2, D=2, bp_config=BPConfig(trunc_dim=8))
+    assert captured["cfg"].trunc_dim_cap == 32
+
+
+def test_robust_bp_escalation_capped_and_plateau_stops(monkeypatch):
+    """Deterministic wrapper-logic test with a fake `belief_propagation`:
+    (a) a plateaued error (escalation not helping → precision-limited) stops
+    the retry ladder early; (b) the returned messages are the BEST attempt's,
+    not the (random-init) last attempt's; (c) χ never exceeds the cap even
+    when every attempt improves enough to keep retrying."""
+    from kagomeperiodicbp_tpu.algo import bp as bpmod
+
+    calls = []
+
+    def make_fake(errors):
+        it = iter(errors)
+
+        def fake_bp(cell, msgs_in, cfg, N):
+            err = next(it)
+            calls.append(cfg.trunc_dim)
+            stats = bpmod.BPStats(success=False, final_error=err)
+            return {"attempt": len(calls), "err": err}, stats
+
+        return fake_bp
+
+    # (a)+(b): attempt 2 barely improves (>0.7× of best) → plateau after 2
+    monkeypatch.setattr(bpmod, "belief_propagation", make_fake([1e-4, 9e-5, 1e-9]))
+    cfg = BPConfig(trunc_dim=8, allowed_retries=5)
+    msgs, stats = bpmod.robust_belief_propagation(None, None, cfg, N=2)
+    assert len(calls) == 2          # plateau stopped the ladder
+    assert msgs["err"] == 9e-5      # best attempt returned (attempt 2, barely better)
+    assert stats.final_error == 9e-5
+
+    # (c): steadily-improving errors keep the ladder going, but χ is capped
+    calls.clear()
+    monkeypatch.setattr(
+        bpmod, "belief_propagation", make_fake([1e-1, 1e-2, 1e-3, 1e-4, 1e-5, 1e-6])
+    )
+    cfg = BPConfig(trunc_dim=8, trunc_dim_cap=21, allowed_retries=5)
+    msgs, stats = bpmod.robust_belief_propagation(None, None, cfg, N=2)
+    assert calls == [8, 13, 20, 21]  # ×1.5 ladder clamped at the cap, then stop
+    assert msgs["err"] == 1e-4       # best (= last improving) attempt returned
+    assert stats.final_config.trunc_dim <= 21
+
+
 def _tiny_cell(seed=0, D=2):
     return UnitCell.random(D=D, d=2, key=jax.random.PRNGKey(seed))
 
