@@ -268,6 +268,87 @@ def _swallow_ket_blob(tk: jnp.ndarray, consumed, n_in: int, n_out: int, D: int):
     return A.reshape(shape)
 
 
+def _blob_elem_limit() -> int:
+    """Element-count threshold above which a single-layer swallow switches to
+    the gram-split path (env KPBP_BLOB_LIMIT, elements)."""
+    import os
+
+    return int(float(os.environ.get("KPBP_BLOB_LIMIT", 3e8)))
+
+
+def _swallow_ket_gram_split(
+    tk: jnp.ndarray, consumed, n_out: int, D: int, chi: int, fr: Frontier
+) -> List[jnp.ndarray]:
+    """Memory-lean single-layer swallow for one-in-leg nodes whose fused blob
+    would be huge (n_out=3 at D=8: a·b·d²·D⁶ ≈ 2·10¹⁰ elements — the OOM that
+    killed the first D=8 demo). Never materializes the blob
+    B[a, o1², o2².., b]; instead:
+
+      1. G = B·B† over the first-cut rows (a, o1_ket, o1_bra), computed by
+         contracting the small factors (frontier site S, ket tensor, bra
+         conj) pairwise — peak intermediate a·b·d²·D⁴ elements;
+      2. eigh(G) → top-k row basis U, k = min(rows, 2χ) (2χ oversampling so
+         the normal windowed mixed-canonical truncation afterwards still
+         picks the optimal χ subspace within the retained space);
+      3. B2 = U†·B by the same implicit contraction — [k, o2².., b] is small;
+      4. first site = U reshaped [a, o1², k] (left-orthonormal by
+         construction), remaining sites from the ordinary exact QR chain on
+         B2.
+
+    The gram squares the condition number (same trade as the repo's
+    KPBP_LINALG=gram CholeskyQR2 path, validated to 1e-9 at f64 in
+    tests/test_gram_linalg.py). Only n_in=1 is supported — Kagome lattice
+    nodes have 4 virtual legs, so the explosive n_out ≥ 3 swallows always
+    have a single in-leg (reference memory analog: bubblecon.py:1855
+    swallow_ket_T, whose numpy version simply materializes the blob and
+    drove the reference's 64 GB D≥8 RAM plan, condor/send_ite.py:44-56)."""
+    d = tk.shape[-1]
+    out_d = tk.shape[1:-1]
+    assert len(out_d) == n_out
+    s0 = consumed[0]
+    a, _p, b = s0.shape
+    S = s0.reshape(a, D, D, b)                       # [a, ik, ib, b]
+    S = fr._absorb_norm(S)
+    tkn = tk / jnp.maximum(jnp.linalg.norm(tk), 1e-300).astype(tk.dtype)
+    fr.logscale = fr.logscale + 2 * jnp.log(
+        jnp.maximum(jnp.linalg.norm(tk), 1e-300)
+    )  # tk enters twice (ket and bra)
+
+    # ---- G = B·B† over rows (a, o1k, o1b) ----
+    # F1: ket-ket gram over the tail out legs; F2: the bra-side counterpart.
+    tail = list(range(2, 2 + (n_out - 1)))           # tk legs o2..o_m
+    sub_t = "ix" + "".join(chr(ord("m") + j) for j in range(n_out - 1)) + "d"
+    sub_tc = "ky" + "".join(chr(ord("m") + j) for j in range(n_out - 1)) + "e"
+    F1 = jnp.einsum(f"{sub_t},{sub_tc}->ixdkye", tkn, jnp.conj(tkn))
+    F2 = jnp.conj(F1)                                # bra pair = conj of ket pair
+    E = jnp.einsum("aijb,cklb->aijckl", S, jnp.conj(S))
+    M = jnp.einsum("aijckl,ixdkye->ajclxdye", E, F1)
+    G = jnp.einsum("ajclxdye,jzdlwe->axzcyw", M, F2)
+    rows = a * D * D
+    G = G.reshape(rows, rows)
+    G = 0.5 * (G + jnp.conj(G.T))
+
+    k = int(min(rows, 2 * chi))
+    evals, evecs = jnp.linalg.eigh(G)
+    U = evecs[:, ::-1][:, :k]                        # top-k row basis
+    del evals
+
+    # ---- B2 = U† · B, implicitly ----
+    Uc = jnp.conj(U).reshape(a, D, D, k)             # [a, x(o1k), z(o1b), K]
+    P1 = jnp.einsum("axzK,aijb->xzKijb", Uc, S)
+    m_ket = "".join(chr(ord("m") + j) for j in range(n_out - 1))
+    m_bra = "".join(chr(ord("p") + j) for j in range(n_out - 1))
+    P2 = jnp.einsum(f"xzKijb,ix{m_ket}d->zKjb{m_ket}d", P1, tkn)
+    B2 = jnp.einsum(f"zKjb{m_ket}d,jz{m_bra}d->K"
+                    + "".join(a_ + b_ for a_, b_ in zip(m_ket, m_bra)) + "b",
+                    P2, jnp.conj(tkn))
+    B2 = B2.reshape((k,) + tuple(od * od for od in out_d[1:]) + (b,))
+    B2 = fr._absorb_norm(B2)
+
+    first = U.reshape(a, D * D, k)
+    return [first] + _split_blob(B2, fr)
+
+
 def apply_step(fr: Frontier, plan: Plan, step: Step, raw: jnp.ndarray,
                dtype=None) -> None:
     """One plan step applied to the frontier, in place: permute the fetched
@@ -291,6 +372,7 @@ def apply_step(fr: Frontier, plan: Plan, step: Step, raw: jnp.ndarray,
         t = jnp.transpose(t, step.perm)
 
     s, n_in, n_out = step.start, step.n_in, step.n_out
+    pre_split_sites: Optional[List[jnp.ndarray]] = None
 
     if n_in == 0:
         assert not fr.sites, "zero-in-leg step on a non-empty frontier"
@@ -300,7 +382,17 @@ def apply_step(fr: Frontier, plan: Plan, step: Step, raw: jnp.ndarray,
         blob = t.reshape((1,) + t.shape + (1,))
     elif single:
         D = t.shape[0]
-        blob = _swallow_ket_blob(t, fr.sites[s : s + n_in], n_in, n_out, D)
+        if n_in == 1 and n_out >= 2:
+            a = fr.sites[s].shape[0]
+            b = fr.sites[s + n_in - 1].shape[2]
+            d_phys = t.shape[-1]
+            peak = a * b * d_phys * d_phys * D ** (2 * n_out)
+            if peak > _blob_elem_limit():
+                pre_split_sites = _swallow_ket_gram_split(
+                    t, fr.sites[s : s + n_in], n_out, D, plan.chi, fr
+                )
+        if pre_split_sites is None:
+            blob = _swallow_ket_blob(t, fr.sites[s : s + n_in], n_in, n_out, D)
     else:
         consumed = fr.sites[s : s + n_in]
         run = jnp.tensordot(t, consumed[0], axes=([0], [1]))
@@ -310,6 +402,18 @@ def apply_step(fr: Frontier, plan: Plan, step: Step, raw: jnp.ndarray,
                 run, consumed[j], axes=([1, run.ndim - 1], [1, 0])
             )
         blob = run  # [Dl, out..., Dr]
+
+    if pre_split_sites is not None:
+        new_sites = pre_split_sites
+        fr.replace(s, n_in, new_sites)
+        if plan.chi_lazy is not None:
+            if fr.max_bond_in(0, len(fr.sites)) > plan.chi_lazy:
+                fr.truncate_window(0, len(fr.sites))
+        elif fr.max_bond_in(s, s + n_out) > plan.chi:
+            fr.truncate_window(s, s + n_out)
+        if _SITE_CONSTRAINT is not None:
+            fr.sites = [_SITE_CONSTRAINT(x) for x in fr.sites]
+        return
 
     blob = fr._absorb_norm(blob)
 
