@@ -276,32 +276,55 @@ def _blob_elem_limit() -> int:
     return int(float(os.environ.get("KPBP_BLOB_LIMIT", 3e8)))
 
 
+def _project_rows(U: jnp.ndarray, S: jnp.ndarray, tkn: jnp.ndarray,
+                  n_out: int, a: int, D: int, b: int) -> jnp.ndarray:
+    """U†·B implicitly, for B[a, o1², tail², b] = S·tk·tk* (never
+    materialized). U: [a·D², k] row basis. Returns [k, o2², .., b]."""
+    k = U.shape[1]
+    Uc = jnp.conj(U).reshape(a, D, D, k)             # [a, x(o1k), z(o1b), K]
+    P1 = jnp.einsum("axzK,aijb->xzKijb", Uc, S)
+    m_ket = "".join(chr(ord("m") + j) for j in range(n_out - 1))
+    m_bra = "".join(chr(ord("p") + j) for j in range(n_out - 1))
+    P2 = jnp.einsum(f"xzKijb,ix{m_ket}d->zKjb{m_ket}d", P1, tkn)
+    B2 = jnp.einsum(f"zKjb{m_ket}d,jz{m_bra}d->K"
+                    + "".join(a_ + b_ for a_, b_ in zip(m_ket, m_bra)) + "b",
+                    P2, jnp.conj(tkn))
+    out_d = tkn.shape[1:-1]
+    return B2.reshape((k,) + tuple(od * od for od in out_d[1:]) + (b,))
+
+
 def _swallow_ket_gram_split(
     tk: jnp.ndarray, consumed, n_out: int, D: int, chi: int, fr: Frontier
 ) -> List[jnp.ndarray]:
     """Memory-lean single-layer swallow for one-in-leg nodes whose fused blob
     would be huge (n_out=3 at D=8: a·b·d²·D⁶ ≈ 2·10¹⁰ elements — the OOM that
     killed the first D=8 demo). Never materializes the blob
-    B[a, o1², o2².., b]; instead:
+    B[a, o1², o2².., b]; instead a randomized range finder over the first-cut
+    rows (a, o1_ket, o1_bra), built entirely from small implicit
+    contractions of the factors (frontier site S, ket tensor, bra conj):
 
-      1. G = B·B† over the first-cut rows (a, o1_ket, o1_bra), computed by
-         contracting the small factors (frontier site S, ket tensor, bra
-         conj) pairwise — peak intermediate a·b·d²·D⁴ elements;
-      2. eigh(G) → top-k row basis U, k = min(rows, 2χ) (2χ oversampling so
-         the normal windowed mixed-canonical truncation afterwards still
-         picks the optimal χ subspace within the retained space);
-      3. B2 = U†·B by the same implicit contraction — [k, o2².., b] is small;
-      4. first site = U reshaped [a, o1², k] (left-orthonormal by
-         construction), remaining sites from the ordinary exact QR chain on
-         B2.
+      1. sketch Y = B·Ω with a Khatri-Rao Ω (independent Gaussian factor per
+         remaining leg, s = min(rows, 2χ+32) columns) — peak a·b·d·D² work
+         arrays, never the blob;
+      2. optionally (KPBP_SKETCH_POWER, default 1) a power iteration
+         Y ← B·(B†·Q) to sharpen the subspace — still implicit;
+      3. Q = QR(Y): a left-orthonormal row basis; retaining ~2χ columns lets
+         the normal windowed mixed-canonical truncation afterwards pick the
+         optimal χ subspace *within* the retained space;
+      4. B2 = Q†·B implicitly — [s, o2².., b] is small; first site = Q
+         reshaped [a, o1², s], remaining sites from the ordinary exact QR
+         chain on B2.
 
-    The gram squares the condition number (same trade as the repo's
-    KPBP_LINALG=gram CholeskyQR2 path, validated to 1e-9 at f64 in
-    tests/test_gram_linalg.py). Only n_in=1 is supported — Kagome lattice
-    nodes have 4 virtual legs, so the explosive n_out ≥ 3 swallows always
-    have a single in-leg (reference memory analog: bubblecon.py:1855
-    swallow_ket_T, whose numpy version simply materializes the blob and
-    drove the reference's 64 GB D≥8 RAM plan, condor/send_ite.py:44-56)."""
+    With s = rows the sketch spans the full row space and the result is
+    exact (tested to 1e-10 against the materialized-blob path). Only n_in=1
+    is supported — Kagome lattice nodes have 4 virtual legs, so the
+    explosive n_out ≥ 3 swallows always have a single in-leg. (Reference
+    analogs: bubblecon.py:1855 swallow_ket_T materializes the blob and
+    drove the reference's 64 GB D≥8 RAM plan, condor/send_ite.py:44-56;
+    the reference's own large-matrix SVDs already trust randomized
+    truncation — quimb rsvd, bmpslib.py:188.)"""
+    import os
+
     d = tk.shape[-1]
     out_d = tk.shape[1:-1]
     assert len(out_d) == n_out
@@ -314,38 +337,58 @@ def _swallow_ket_gram_split(
         jnp.maximum(jnp.linalg.norm(tk), 1e-300)
     )  # tk enters twice (ket and bra)
 
-    # ---- G = B·B† over rows (a, o1k, o1b) ----
-    # F1: ket-ket gram over the tail out legs; F2: the bra-side counterpart.
-    tail = list(range(2, 2 + (n_out - 1)))           # tk legs o2..o_m
-    sub_t = "ix" + "".join(chr(ord("m") + j) for j in range(n_out - 1)) + "d"
-    sub_tc = "ky" + "".join(chr(ord("m") + j) for j in range(n_out - 1)) + "e"
-    F1 = jnp.einsum(f"{sub_t},{sub_tc}->ixdkye", tkn, jnp.conj(tkn))
-    F2 = jnp.conj(F1)                                # bra pair = conj of ket pair
-    E = jnp.einsum("aijb,cklb->aijckl", S, jnp.conj(S))
-    M = jnp.einsum("aijckl,ixdkye->ajclxdye", E, F1)
-    G = jnp.einsum("ajclxdye,jzdlwe->axzcyw", M, F2)
     rows = a * D * D
-    G = G.reshape(rows, rows)
-    G = 0.5 * (G + jnp.conj(G.T))
+    s_dim = int(min(rows, 2 * chi + 32))
+    n_power = int(os.environ.get("KPBP_SKETCH_POWER", 1))
 
-    k = int(min(rows, 2 * chi))
-    evals, evecs = jnp.linalg.eigh(G)
-    U = evecs[:, ::-1][:, :k]                        # top-k row basis
-    del evals
-
-    # ---- B2 = U† · B, implicitly ----
-    Uc = jnp.conj(U).reshape(a, D, D, k)             # [a, x(o1k), z(o1b), K]
-    P1 = jnp.einsum("axzK,aijb->xzKijb", Uc, S)
+    # ---- Khatri-Rao sketch factors: one per remaining leg ----
+    # (fixed key: the sketch is part of the traced program and must be
+    # deterministic across sweeps; a power iteration washes out any
+    # unlucky alignment)
+    key = jax.random.PRNGKey(0)
     m_ket = "".join(chr(ord("m") + j) for j in range(n_out - 1))
     m_bra = "".join(chr(ord("p") + j) for j in range(n_out - 1))
-    P2 = jnp.einsum(f"xzKijb,ix{m_ket}d->zKjb{m_ket}d", P1, tkn)
-    B2 = jnp.einsum(f"zKjb{m_ket}d,jz{m_bra}d->K"
-                    + "".join(a_ + b_ for a_, b_ in zip(m_ket, m_bra)) + "b",
-                    P2, jnp.conj(tkn))
-    B2 = B2.reshape((k,) + tuple(od * od for od in out_d[1:]) + (b,))
-    B2 = fr._absorb_norm(B2)
+    keys = jax.random.split(key, 2 * (n_out - 1) + 1)
+    rdt = jnp.zeros((), tkn.dtype).real.dtype
+    is_c = jnp.issubdtype(tkn.dtype, jnp.complexfloating)
 
-    first = U.reshape(a, D * D, k)
+    def _gauss(kk, dim):
+        if is_c:
+            g = jax.random.normal(kk, (dim, s_dim, 2), rdt)
+            return (g[..., 0] + 1j * g[..., 1]).astype(tkn.dtype)
+        return jax.random.normal(kk, (dim, s_dim), rdt).astype(tkn.dtype)
+
+    om_ket = [_gauss(keys[j], D) for j in range(n_out - 1)]
+    om_bra = [_gauss(keys[n_out - 1 + j], D) for j in range(n_out - 1)]
+    om_b = _gauss(keys[-1], b)
+
+    # ---- Y = B·Ω via small einsums ----
+    ket_oms = ",".join(f"{c}s" for c in m_ket)
+    T1 = jnp.einsum(f"ix{m_ket}d,{ket_oms}->ixds", tkn, *om_ket)
+    bra_oms = ",".join(f"{c}s" for c in m_bra)
+    T2 = jnp.einsum(f"jz{m_bra}d,{bra_oms}->jzds", jnp.conj(tkn), *om_bra)
+    S1 = jnp.einsum("aijb,bs->aijs", S, om_b)
+    Y = jnp.einsum("aijs,ixds,jzds->axzs", S1, T1, T2)
+    Y = Y.reshape(rows, s_dim)
+
+    Q = qr_stable(Y)[0]
+    for _ in range(n_power):
+        # Z = B†·Q (= projection of B onto Q, conj-transposed) — small
+        Z = _project_rows(Q, S, tkn, n_out, a, D, b)   # [s, o2².., b]
+        Zt = jnp.conj(Z).reshape(
+            (Q.shape[1],) + tuple(D for _ in range(2 * (n_out - 1))) + (b,)
+        )  # [s, mk, pk alternating.., b] — unfuse tail D² legs into (ket, bra)
+        # BZ[a, x, z, s] = Σ_tail,b B · conj(Z)
+        inter = "".join(a_ + b_ for a_, b_ in zip(m_ket, m_bra))
+        Z2 = jnp.einsum(f"jz{m_bra}d,S{inter}b->jzd{m_ket}bS",
+                        jnp.conj(tkn), Zt)
+        Z3 = jnp.einsum(f"ix{m_ket}d,jzd{m_ket}bS->jzdixbS", tkn, Z2)
+        BZ = jnp.einsum("aijb,jzdixbS->axzS", S, Z3)
+        Q = qr_stable(BZ.reshape(rows, -1))[0]
+
+    B2 = _project_rows(Q, S, tkn, n_out, a, D, b)
+    B2 = fr._absorb_norm(B2)
+    first = Q.reshape(a, D * D, Q.shape[1])
     return [first] + _split_blob(B2, fr)
 
 
