@@ -26,6 +26,7 @@ import argparse
 import json
 import os
 import resource
+import signal
 import sys
 import time
 
@@ -91,6 +92,16 @@ def main():
         rec["peak_rss_gb"] = round(
             resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
         print(json.dumps(rec), flush=True)
+
+    # a `timeout`-delivered SIGTERM must still leave evidence on disk —
+    # D=8 sweeps are hours long and the first per-sweep print only lands
+    # at sweep end.
+    def _on_term(signum, frame):
+        rec["error"] = f"terminated (signal {signum}) mid-run"
+        emit()
+        os._exit(124)
+
+    signal.signal(signal.SIGTERM, _on_term)
 
     try:
         # BP loop driven here (not belief_propagation) for per-sweep timing
