@@ -143,11 +143,29 @@ def main(argv=None):
             args.d, args.D, chirality=+1 if args.cell == "q0" else -1, dtype=dtype)
         if args.init_noise:
             cell = cell.add_noise(args.init_noise, key=jax.random.PRNGKey(args.seed))
-    elif args.cell == "su":
+    elif args.cell == "su" or args.cell.startswith("su:"):
         from kagomeperiodicbp_tpu.algo.simple_update import simple_update
 
-        log.info("simple-update warm start (D=%d)…", args.D)
+        # `su` = random seed; `su:q0` / `su:q0-` / `su:product` seed the SU
+        # itself from a structured state — a random-seeded 2-site SU on the
+        # kagome lattice tends to freeze into a dimerized local minimum
+        # (measured −0.326 at D=3 vs the published SU −0.41786), while the
+        # 120° q=0 seed keeps it in the magnetically-ordered basin.
+        seed_cell = None
+        sub = args.cell.partition(":")[2]
+        if sub in ("q0", "q0-"):
+            seed_cell = UnitCell.product_state_120(
+                args.d, args.D, chirality=+1 if sub == "q0" else -1, dtype=dtype)
+            seed_cell = seed_cell.add_noise(
+                args.init_noise or 0.05, key=jax.random.PRNGKey(args.seed))
+        elif sub == "product":
+            seed_cell = UnitCell.random_product_state(
+                args.d, args.D, jax.random.PRNGKey(args.seed), dtype)
+        elif sub:
+            raise SystemExit(f"unknown su seed '{sub}' (use q0 | q0- | product)")
+        log.info("simple-update warm start (D=%d, seed=%s)…", args.D, sub or "random")
         cell, _ = simple_update(ham(), D=args.D, d=args.d, dtype=dtype,
+                                cell=seed_cell,
                                 key=jax.random.PRNGKey(args.seed))
     elif args.cell == "best":
         from kagomeperiodicbp_tpu.utils.best_store import load_best
