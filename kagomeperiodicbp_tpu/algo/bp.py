@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import time
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
@@ -246,18 +247,17 @@ def robust_belief_propagation(
     N: int,
 ) -> Tuple[MessageDict, BPStats]:
     """Retry loop with χ escalation ×1.5 and fresh random messages on failure
-    (reference: belief_propagation.py:284-332). Deviations from the
-    reference, both dtype-safety measures:
+    (reference: belief_propagation.py:284-332), returning the BEST attempt's
+    messages on overall failure exactly as the reference's min_error /
+    min_messages tracking does (belief_propagation.py:319-332). Deviations
+    from the reference, both dtype-safety measures:
 
     * escalation respects ``config.trunc_dim_cap`` (default 4× the entry
-      trunc_dim) and stops early when a retry fails to improve the best
-      error by ≥30% — a plateau means the error is precision-limited (the
-      float32 distance floor), not truncation-limited, so more χ only burns
-      compile/execute time;
-    * on overall failure the BEST attempt's messages are returned, not the
-      last attempt's (the last attempt started from fresh *random* messages
-      — feeding those to the ITE update would discard the converged warm
-      state).
+      trunc_dim);
+    * it stops early when a retry fails to improve the best error by ≥30% —
+      a plateau means the error is precision-limited (the float32 distance
+      floor), not truncation-limited, so more χ only burns compile/execute
+      time.
     """
     cap = config.trunc_dim_cap or 4 * config.trunc_dim
     cfg = config
@@ -269,8 +269,19 @@ def robust_belief_propagation(
         stats.final_config = cfg
         if stats.success:
             return out, stats
-        plateaued = best is not None and stats.final_error >= 0.7 * best[0]
-        if best is None or stats.final_error < best[0]:
+        # NaN-safe ordering: a NaN final_error must never be pinned as
+        # "best" (NaN comparisons are always False, so `error < best[0]`
+        # would otherwise never replace it) and must never trigger the
+        # plateau stop.
+        err_is_nan = math.isnan(stats.final_error)
+        plateaued = (
+            best is not None
+            and not err_is_nan
+            and stats.final_error >= 0.7 * best[0]
+        )
+        if best is None or math.isnan(best[0]) or (
+            not err_is_nan and stats.final_error < best[0]
+        ):
             best = (stats.final_error, out, stats)
         if plateaued or cfg.trunc_dim >= cap:
             break

@@ -328,6 +328,11 @@ def _swallow_ket_gram_split(
     d = tk.shape[-1]
     out_d = tk.shape[1:-1]
     assert len(out_d) == n_out
+    # the generated einsum subscripts use m..o for ket legs and p..r for bra
+    # legs ('s' is the sketch axis): at n_out >= 5 the ranges collide and
+    # would silently contract wrong legs — fail loudly instead (kagome and
+    # square single-layer swallows have n_out <= 3)
+    assert n_out <= 4, f"gram-split sketch supports n_out <= 4, got {n_out}"
     s0 = consumed[0]
     a, _p, b = s0.shape
     S = s0.reshape(a, D, D, b)                       # [a, ik, ib, b]
@@ -432,7 +437,15 @@ def apply_step(fr: Frontier, plan: Plan, step: Step, raw: jnp.ndarray,
             peak = a * b * d_phys * d_phys * D ** (2 * n_out)
             if peak > _blob_elem_limit():
                 pre_split_sites = _swallow_ket_gram_split(
-                    t, fr.sites[s : s + n_in], n_out, D, plan.chi, fr
+                    t,
+                    fr.sites[s : s + n_in],
+                    n_out,
+                    D,
+                    # in lazy mode bonds may grow to chi_lazy before the
+                    # windowed SVD — size the sketch for that, or the random
+                    # projection would truncate to ~2·chi immediately
+                    plan.chi_lazy or plan.chi,
+                    fr,
                 )
         if pre_split_sites is None:
             blob = _swallow_ket_blob(t, fr.sites[s : s + n_in], n_in, n_out, D)

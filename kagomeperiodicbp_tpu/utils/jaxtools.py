@@ -7,16 +7,26 @@ _CACHE_ENABLED = False
 
 
 def enable_compilation_cache(path: str | None = None) -> None:
-    """Persist XLA compiles across processes — plan programs are expensive to
-    compile (~30s each on the TPU remote compiler) but fully reusable."""
+    """Persist XLA compiles across processes. OPT-IN via KPBP_JAX_CACHE=<dir>.
+
+    Measured unusable on both backends of this machine (round 5):
+
+    * axon: the remote compiler's persistent-cache round trip produces
+      executables that fail at run time with UNIMPLEMENTED;
+    * XLA:CPU (jax 0.9.0): serialized AOT executables embed pseudo-features
+      (``+prefer-no-scatter``/``+prefer-no-gather``) in the compile-machine
+      feature list that the loader's host-feature list never contains, so
+      every cross-process load fails the machine-match check
+      (cpu_aot_loader.cc "could lead to execution errors such as SIGILL")
+      and falls back to a recompile — pure overhead plus SIGILL risk.
+    """
     global _CACHE_ENABLED
     if _CACHE_ENABLED:
         return
     import jax
 
-    # The experimental axon TPU backend compiles remotely; its persistent-
-    # cache round trip produces executables that fail at run time with
-    # UNIMPLEMENTED. Never enable the cache when axon is the platform.
+    if not os.environ.get("KPBP_JAX_CACHE"):
+        return
     platforms = str(getattr(jax.config, "jax_platforms", "") or os.environ.get("JAX_PLATFORMS", ""))
     if "axon" in platforms:
         return

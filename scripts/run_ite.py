@@ -89,11 +89,15 @@ def main(argv=None):
 
     import jax
 
-    from kagomeperiodicbp_tpu.utils.jaxtools import enable_compilation_cache
-    enable_compilation_cache()
-
     if args.platform:
         jax.config.update("jax_platforms", args.platform if args.platform != "tpu" else "axon,tpu")
+
+    # AFTER the platform switch: with sitecustomize pinning JAX_PLATFORMS=axon,
+    # enabling the cache first would hit the axon guard and silently leave
+    # --platform cpu runs without the persistent compile cache (cold compiles
+    # every run)
+    from kagomeperiodicbp_tpu.utils.jaxtools import enable_compilation_cache
+    enable_compilation_cache()
     if args.dtype in ("complex128", "float64"):
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp

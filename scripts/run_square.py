@@ -33,11 +33,13 @@ def main(argv=None):
 
     import jax
 
-    from kagomeperiodicbp_tpu.utils.jaxtools import enable_compilation_cache
-    enable_compilation_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_enable_x64", True)
+    # after the platform switch — else the sitecustomize axon pin disables
+    # the persistent compile cache even for --platform cpu runs
+    from kagomeperiodicbp_tpu.utils.jaxtools import enable_compilation_cache
+    enable_compilation_cache()
 
     from kagomeperiodicbp_tpu.physics import hamiltonians
     from kagomeperiodicbp_tpu.square import algo as S

@@ -118,6 +118,10 @@ def main():
         msgs = C.initial_messages(N, D, chi_msg, model="uniform",
                                   key=jax.random.PRNGKey(0), dtype=dtype)
         msg_sites = F._msgs_to_sites(msgs)
+        # same stop threshold + dtype clamp as BP.belief_propagation, so the
+        # demo's bp_err is comparable with records produced through it
+        eps = float(jnp.finfo(jnp.zeros((), dtype).real.dtype).eps)
+        stop = max(cfg.msg_diff_terminate, 30 * eps)
         t_bp = time.perf_counter()
         err = float("inf")
         sweep_times = []
@@ -130,9 +134,12 @@ def main():
             rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
             print(f"  sweep {it}: {dt_s:.1f}s err={err:.3e} rss={rss:.1f}GB",
                   flush=True)
-            if err < 3e-6:
+            if err < stop:
                 break
         bp_s = time.perf_counter() - t_bp
+        # hermitize like belief_propagation's default finish, so downstream
+        # ITE/energy numbers match records produced through BP proper
+        msg_sites = F.hermitize_all(N, D, chi_msg)(msg_sites)
         msgs = F._sites_to_msgs(msg_sites)
         rec.update({
             "bp_sweeps": len(sweep_times), "bp_err": float(err),
