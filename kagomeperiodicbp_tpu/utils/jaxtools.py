@@ -200,8 +200,15 @@ def resilient_jit(fn, max_retries: int | None = None, fallback=None, **jit_kwarg
 
     if max_retries is None:
         max_retries = int(os.environ.get("KPBP_JIT_RETRIES", "4"))
-    state = {"jitted": jax.jit(fn, **jit_kwargs), "validated": False,
-             "eager": False}
+    # KPBP_FORCE_EAGER=1: start every program at the degraded tier without
+    # paying a poisoned compile attempt first.  Used by bench.py when the
+    # jit probe fails but eager device ops still work (EAGER_TRANSFER
+    # weather) — converts a would-be stale round into a fresh chip datum.
+    force_eager = os.environ.get("KPBP_FORCE_EAGER") == "1"
+    state = {"jitted": None if force_eager else jax.jit(fn, **jit_kwargs),
+             "validated": False, "eager": force_eager}
+    if force_eager:
+        EAGER_EVENTS.append(getattr(fn, "__qualname__", repr(fn)) + " (forced)")
 
     def _probe(out):
         """Actually transfer the smallest output leaf: poisoned executables
