@@ -99,34 +99,48 @@ def _emit_last_good(error: str):
                "vs_baseline": 0.0, "error": error[:200]})
 
 
-def _probe(seconds: int = 75) -> None:
-    """Tiny jitted matmul; raises if the backend is down or poisoned."""
-    import signal
+def _probe_sub(body: str, seconds: int) -> None:
+    """Run a tiny probe program in a SUBPROCESS with a hard timeout.
 
-    import jax
-    import jax.numpy as jnp
+    A hung remote-compile RPC sits in C++ and defeats SIGALRM (observed:
+    the in-process jit probe ate the parent's whole 600 s budget before the
+    eager tier could even be tried, in hung-jit/eager-ok weather), so each
+    probe tier gets its own killable process."""
+    import subprocess
 
-    signal.alarm(seconds)
-    x = jnp.ones((64, 64), jnp.float32)
-    y = jax.jit(lambda a: a @ a)(x)
-    jax.block_until_ready(y)
-    signal.alarm(0)
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import jax, jax.numpy as jnp\n"
+        "import numpy as np\n" % ROOT
+    ) + body + "\nprint('PROBE_OK')\n"
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=seconds)
+    if out.returncode != 0 or "PROBE_OK" not in out.stdout:
+        tail = (out.stderr.strip().splitlines() or ["?"])[-1]
+        raise RuntimeError(f"probe failed: {tail[:160]}")
+
+
+def _probe(seconds: int = 120) -> None:
+    """Tiny jitted matmul (+ scalar transfer); raises if jit is down/poisoned."""
+    _probe_sub(
+        "x = jnp.ones((64, 64), jnp.float32)\n"
+        "y = jax.block_until_ready(jax.jit(lambda a: a @ a)(x))\n"
+        "assert float(y[0, 0]) == 64.0\n",
+        seconds,
+    )
 
 
 def _probe_eager(seconds: int = 120) -> None:
     """Eager c64 device ops + a guarded device→host transfer; raises if even
     the per-op dispatch tier is unusable (true DOWN weather)."""
-    import signal
-
-    import jax.numpy as jnp
-
-    from kagomeperiodicbp_tpu.utils.jaxtools import to_numpy
-
-    signal.alarm(seconds)
-    x = jnp.ones((64, 64), jnp.complex64)
-    y = (x @ x).sum()
-    to_numpy(y)
-    signal.alarm(0)
+    _probe_sub(
+        "from kagomeperiodicbp_tpu.utils.jaxtools import to_numpy\n"
+        "f = jax.device_put(np.random.rand(64, 64).astype(np.float32))\n"
+        "x = (f + 1j * f.T).astype(jnp.complex64)\n"
+        "y = (x @ x).sum()\n"
+        "assert abs(complex(to_numpy(y))) > 0\n",
+        seconds,
+    )
 
 
 def _tiered_probe() -> None:
@@ -284,6 +298,10 @@ def main():
                     prev["eager_now_ite_steps_per_second"] = rec["ite_steps_per_second"]
                 if "device_kind" in rec:
                     prev["device_kind"] = rec["device_kind"]
+                # persist: a later run in worse weather (e.g. the driver's
+                # end-of-round bench) must still carry this fresh chip datum
+                with open(LAST_GOOD, "w") as f:
+                    json.dump(prev, f)
                 _emit(prev)
                 return
         except Exception:
@@ -316,6 +334,10 @@ def _parent():
             [sys.executable, "-u", os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=timeout, cwd=ROOT,
         )
+        if out.stderr:
+            # relay the child's probe/tier decisions (stdout must stay pure
+            # JSON, so diagnostics live on stderr end to end)
+            print(out.stderr[-2000:], file=sys.stderr, end="")
         for line in out.stdout.splitlines():
             line = line.strip()
             if line.startswith('{"metric"'):

@@ -106,6 +106,17 @@ def edge_geometry(N: int, D: int, chi: int, chi_msg: int, axis: LatticeDir) -> E
     fwd_nodes = walk(n_start, axis)
     bwd_nodes = walk(n_start, axis.opposite())
     chain = list(reversed(bwd_nodes)) + [n_start] + fwd_nodes
+    return chain_geometry(graph, chain, major_top, major_bot, chi, axis=axis)
+
+
+def chain_geometry(graph: TNGraph, chain: List[int], major_top, major_bot,
+                   chi: int, axis=None) -> "EdgeGeometry":
+    """Graph-generic half of the cut-axis construction: given the cut chain
+    (lattice pair row extended to its terminating message nodes), split the
+    rest of the graph into the two connected components, identify each chain
+    node's top/bottom/fwd/bwd legs, and compile the two directional boundary
+    plans.  Shared by the Kagome edge environment (above) and the square
+    lattice full update (square/fullupdate.py)."""
     chain_set = set(chain)
 
     # --- top/bottom = the two connected components of the rest ---
