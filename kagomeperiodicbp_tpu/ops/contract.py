@@ -343,7 +343,10 @@ def _swallow_ket_gram_split(
     )  # tk enters twice (ket and bra)
 
     rows = a * D * D
-    s_dim = int(min(rows, 2 * chi + 32))
+    # KPBP_SKETCH_RANK: absolute override of the retained sketch rank, used
+    # by tools/sketch_rank_curve.py to measure accuracy vs rank (the 2χ+32
+    # default is the measured knee of that curve — see BENCHMARKS.md).
+    s_dim = int(min(rows, int(os.environ.get("KPBP_SKETCH_RANK", 0)) or (2 * chi + 32)))
     n_power = int(os.environ.get("KPBP_SKETCH_POWER", 1))
 
     # ---- Khatri-Rao sketch factors: one per remaining leg ----
