@@ -23,7 +23,6 @@ import argparse
 import glob
 import json
 import os
-import pickle
 import re
 import sys
 
@@ -32,37 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DEFAULT_FOLDER = "/root/reference/data/simple_update_results"
 
 
-class _Stub:
-    """Placeholder for any class the pickle references; keeps the state."""
-
-    def __init__(self, *a, **k):
-        pass
-
-    def __setstate__(self, state):
-        self.__dict__.update(state if isinstance(state, dict) else {"_state": state})
-
-
-class _StubUnpickler(pickle.Unpickler):
-    def find_class(self, module, name):
-        try:
-            return super().find_class(module, name)
-        except Exception:
-            return type(name, (_Stub,), {"__module__": module})
-
-
-def load_tnsu(path: str):
-    """→ dict with `tensors` (list of ndarrays, leg order [d, 1..4]),
-    `virtual_dim`, `final_energy` (the foreign implementation's own number)."""
-    with open(path, "rb") as fh:
-        obj = _StubUnpickler(fh).load()
-    d = obj.__dict__ if hasattr(obj, "__dict__") else dict(obj)
-    return {
-        "tensors": d["tensors"],
-        # the stored `virtual_dim` attribute is stale on some sets (always 2
-        # for the size=1 PBC family) — trust the tensors themselves
-        "D": int(d["tensors"][0].shape[1]),
-        "final_energy": float(d["final_energy"]) if d.get("final_energy") is not None else None,
-    }
+from kagomeperiodicbp_tpu.utils.foreign import load_tnsu  # noqa: E402
 
 
 def measure_set(path: str, N: int = 2, average_shifts: bool = False,

@@ -38,8 +38,10 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=None, help="total segments (overrides ladder)")
     p.add_argument("--steps-per-dt", type=int, default=20)
     p.add_argument("--cell", default="random",
-                   help="random | product | zero | q0 | q0- | su | best | <path.pkl> "
+                   help="random | product | zero | q0 | q0- | su | best | tnsu | <path.pkl> "
                         "(su = simple-update warm start, reference unit_cell_from='tnsu'; "
+                        "tnsu = the published tnsu SU state for this D, the reference's "
+                        "own warm start (reference run_ite.py:78-107); "
                         "q0/q0- = 120-degree q=0 product order, either chirality; "
                         "best = current best-store record for this D)")
     p.add_argument("--init-noise", type=float, default=0.02,
@@ -190,6 +192,17 @@ def main(argv=None):
         cell = rec[0].astype(dtype).pad_to(args.D, key=jax.random.PRNGKey(args.seed))
         log.info("warm start: D=%d best (energy=%.10f) padded to D=%d",
                  d_src, rec[1], args.D)
+    elif args.cell == "tnsu" or args.cell.startswith("tnsu:"):
+        # the published tnsu SU state — the reference's own warm start
+        # (reference: run_ite.py:78-107; bridge in utils/foreign.py)
+        from kagomeperiodicbp_tpu.utils.foreign import tnsu_unit_cell
+
+        sub = args.cell.partition(":")[2] or None
+        cell, foreign_e = tnsu_unit_cell(args.D, dtype=dtype, path=sub)
+        log.info("warm start from tnsu SU state (D=%d, foreign energy=%s)",
+                 args.D, foreign_e)
+        if args.init_noise:
+            cell = cell.add_noise(args.init_noise, key=jax.random.PRNGKey(args.seed))
     elif args.cell not in ("random",):
         cell = UnitCell.load(args.cell)
     # the central config tree (reference: Config.derive_from_dimensions,
