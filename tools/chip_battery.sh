@@ -53,5 +53,12 @@ log "[6/6] pallas chol+inv kernel microbench (vs XLA cholesky+solve)"
 timeout 1200 python -u tools/bench_chol_kernel.py > "logs/chip/chol_kernel_$STAMP.log" 2>&1
 log "chol kernel exit=$? : $(grep -h '^{' logs/chip/chol_kernel_$STAMP.log | tail -1)"
 
+log "[7/7] chi-shard mesh scaling (runs the GSPMD sharded sweep over every chip present; 1 row on a single-chip host)"
+NCHIPS=$(timeout 300 python -u -c "import jax; print(len(jax.devices()))" 2>/dev/null || echo 1)
+timeout 2400 python -u tools/chi_shard_scaling.py --platform axon --D 4 --chi 32 \
+  --devices 1 $([ "$NCHIPS" -ge 2 ] && echo 2) $([ "$NCHIPS" -ge 4 ] && echo 4) $([ "$NCHIPS" -ge 8 ] && echo 8) \
+  > "logs/chip/chi_shard_$STAMP.log" 2>&1
+log "chi_shard exit=$? : $(tail -2 logs/chip/chi_shard_$STAMP.log | head -1)"
+
 log "battery done"
 rm -f "$PIDFILE"
