@@ -142,6 +142,172 @@ def run_sweep(
     return results
 
 
+# --------------------------------------------------------------------------
+# DAG-dependent jobs (reference: scripts/condor/CondorJobSender.py builds a
+# networkx dependency DAG of condor jobs — send_dag_of_jobs — so chained
+# campaigns like SU → ITE → measure run per sweep point with each stage
+# consuming its parent's output). Here the DAG is scheduled locally with
+# Kahn's algorithm over the same worker/pool machinery as run_sweep; a failed
+# job skips its descendants (DAGMan semantics) instead of aborting the sweep.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DagJob:
+    """One node of a dependent-job DAG.
+
+    ``worker(point, parents)`` receives ``parents`` = {parent job name →
+    that job's result dict}, so a child stage can consume its parents'
+    outputs (e.g. the path of the cell the SU stage saved).
+    """
+
+    name: str
+    point: SweepPoint = SweepPoint()
+    depends_on: tuple = ()
+
+
+def chain(stages: Sequence[str], point: SweepPoint, tag: str = "") -> List[DagJob]:
+    """A linear pipeline (SU → ITE → measure) over one sweep point — the
+    reference's chained-condor-jobs use case, one DagJob per stage; each
+    stage's ``point.method`` is the stage name."""
+    import dataclasses
+
+    jobs: List[DagJob] = []
+    prev: tuple = ()
+    for stage in stages:
+        name = f"{tag or 'pt'}:{stage}"
+        jobs.append(DagJob(name=name,
+                           point=dataclasses.replace(point, method=stage),
+                           depends_on=prev))
+        prev = (name,)
+    return jobs
+
+
+def _guarded_dag(worker, job: DagJob, parents: Dict[str, Dict[str, Any]]) -> Dict[str, Any]:
+    t0 = time.time()
+    try:
+        out = {"status": "ok", "out": worker(job.point, parents)}
+    except Exception as exc:  # noqa: BLE001 — a bad node must not kill the DAG
+        out = {"status": f"error: {type(exc).__name__}",
+               "out": {"error": str(exc)},
+               "traceback": traceback.format_exc(limit=2)}
+    out["exec_time"] = time.time() - t0
+    return out
+
+
+def run_dag(
+    jobs: Sequence[DagJob],
+    worker: Callable[[SweepPoint, Dict[str, Dict[str, Any]]], Dict[str, Any]],
+    csv_path: str = "data/sweeps/dag_results.csv",
+    n_workers: int = 1,
+    child_platform: Optional[str] = "cpu",
+) -> Dict[str, Dict[str, Any]]:
+    """Run a dependency DAG of jobs; returns {job name → result dict}.
+
+    * Ready jobs (all parents succeeded) run concurrently when
+      ``n_workers > 1`` (spawn pool, as in run_sweep) or sequentially in
+      topological order otherwise.
+    * A failed job marks every descendant ``skipped`` (recorded in the CSV,
+      like DAGMan's noop-on-upstream-failure), the rest of the DAG continues.
+    * Cycles and unknown dependency names raise ValueError up front.
+    """
+    by_name = {j.name: j for j in jobs}
+    if len(by_name) != len(jobs):
+        raise ValueError("duplicate DagJob names")
+    for j in jobs:
+        unknown = [d for d in j.depends_on if d not in by_name]
+        if unknown:
+            raise ValueError(f"{j.name}: unknown depends_on {unknown}")
+
+    indeg = {j.name: len(set(j.depends_on)) for j in jobs}
+    children: Dict[str, List[str]] = {j.name: [] for j in jobs}
+    for j in jobs:
+        for d in set(j.depends_on):
+            children[d].append(j.name)
+
+    columns = ["name", "depends_on", "D", "N", "chi_factor", "seed", "method",
+               "noise", "exec_time", "status", "result"]
+    csvm = CSVManager(csv_path, columns)
+    results: Dict[str, Dict[str, Any]] = {}
+    status: Dict[str, str] = {}
+
+    def record(job: DagJob, res: Dict[str, Any]) -> None:
+        status[job.name] = res["status"]
+        results[job.name] = res["out"]
+        row = job.point.as_dict()
+        row.update(name=job.name, depends_on=";".join(job.depends_on),
+                   status=res["status"],
+                   result=json.dumps(res["out"], default=str),
+                   exec_time=round(res.get("exec_time", 0.0), 3))
+        csvm.append(row)
+
+    def skip_descendants(name: str) -> None:
+        for c in children[name]:
+            if c not in status:
+                record(by_name[c], {"status": f"skipped: upstream {name}",
+                                    "out": {}, "exec_time": 0.0})
+                skip_descendants(c)
+
+    ready = [n for n, d in indeg.items() if d == 0]
+    pool = None
+    if n_workers > 1:
+        import concurrent.futures as cf
+        import multiprocessing as mp
+
+        pool = cf.ProcessPoolExecutor(
+            max_workers=n_workers, mp_context=mp.get_context("spawn"),
+            initializer=_child_init, initargs=(child_platform,))
+
+    try:
+        pending: Dict[Any, str] = {}
+        while ready or pending:
+            while ready:
+                name = ready.pop()
+                if name in status:  # already skipped via a failed parent
+                    continue
+                job = by_name[name]
+                parents = {d: results[d] for d in job.depends_on}
+                if pool is not None:
+                    pending[pool.submit(_guarded_dag, worker, job, parents)] = name
+                else:
+                    record(job, _guarded_dag(worker, job, parents))
+                    if status[name] != "ok":
+                        skip_descendants(name)
+                    else:
+                        for c in children[name]:
+                            indeg[c] -= 1
+                            if indeg[c] == 0:
+                                ready.append(c)
+            if pending:
+                import concurrent.futures as cf
+
+                done, _ = cf.wait(pending, return_when=cf.FIRST_COMPLETED)
+                for fut in done:
+                    name = pending.pop(fut)
+                    job = by_name[name]
+                    try:
+                        res = fut.result()
+                    except Exception as exc:  # noqa: BLE001 — child died hard
+                        res = {"status": f"error: {type(exc).__name__}",
+                               "out": {"error": str(exc)}, "exec_time": 0.0}
+                    record(job, res)
+                    if status[name] != "ok":
+                        skip_descendants(name)
+                    else:
+                        for c in children[name]:
+                            indeg[c] -= 1
+                            if indeg[c] == 0:
+                                ready.append(c)
+    finally:
+        if pool is not None:
+            pool.shutdown()
+
+    if len(status) != len(jobs):
+        stuck = sorted(set(by_name) - set(status))
+        raise ValueError(f"dependency cycle: {stuck} never became ready")
+    return results
+
+
 def smoke_worker(pt: SweepPoint) -> Dict[str, Any]:
     """Minimal worker used by tests and dry runs: one tiny jitted program in
     the child process, proving the pool + per-child JAX platform wiring."""
