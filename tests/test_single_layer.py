@@ -128,5 +128,7 @@ def test_gram_split_message_quality_under_truncation(monkeypatch):
     m_exact = C.outgoing_message(cell, msgs, N, D, 100, chi, toward)
     d_gram = float(mpslib.distance(m_gram, m_exact))
     d_norm = float(mpslib.distance(m_norm, m_exact))
-    # same ballpark: the gram path keeps a 2χ subspace then re-truncates
-    assert d_gram < max(2 * d_norm, d_norm + 1e-9)
+    # measured bound: at this shape the retained-rank curve puts the default
+    # s=2χ+32 at 1.12× the ordinary path's distance (data/sketch_rank_curve.json,
+    # tools/sketch_rank_curve.py); 1.4 leaves seed/direction margin.
+    assert d_gram < max(1.4 * d_norm, d_norm + 1e-9)
