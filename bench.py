@@ -109,8 +109,14 @@ def _probe_sub(body: str, seconds: int) -> None:
     import subprocess
 
     code = (
-        "import sys; sys.path.insert(0, %r)\n"
-        "import jax, jax.numpy as jnp\n"
+        "import sys, os; sys.path.insert(0, %r)\n"
+        "import jax\n"
+        # the probe must probe the platform being benched: a CPU-fallback
+        # child otherwise probes axon (sitecustomize pins JAX_PLATFORMS),
+        # fails in bad weather, and the CPU measurement never happens
+        "p = os.environ.get('KPBP_BENCH_PLATFORM')\n"
+        "if p: jax.config.update('jax_platforms', p)\n"
+        "import jax.numpy as jnp\n"
         "import numpy as np\n" % ROOT
     ) + body + "\nprint('PROBE_OK')\n"
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -130,7 +136,7 @@ def _probe(seconds: int = 120) -> None:
     )
 
 
-def _probe_eager(seconds: int = 120) -> None:
+def _probe_eager(seconds: int = 300) -> None:
     """Eager c64 device ops + a guarded device→host transfer; raises if even
     the per-op dispatch tier is unusable (true DOWN weather)."""
     _probe_sub(
@@ -157,6 +163,53 @@ def _tiered_probe() -> None:
               file=sys.stderr)
         _probe_eager()
         os.environ["KPBP_FORCE_EAGER"] = "1"
+
+
+def _eager_core_datum() -> None:
+    """Forced-eager insurance: time the swallow-step core ops (einsum blob +
+    QR at the bench's D=3/χ=18 message shapes) per-op-dispatch on the chip
+    and persist the datum into LAST_GOOD *immediately* — a full eager BP
+    sweep is ~10²-10³ dispatches and regularly outlives the child budget in
+    flicker weather (hunter.log TimeoutExpired), which would leave the round
+    with no fresh chip number at all.  This lands one first."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from kagomeperiodicbp_tpu.utils.jaxtools import to_numpy
+
+    # numpy + device_put, NOT jax.random (whose samplers jit internally —
+    # exactly the dispatch tier that is poisoned when this path runs)
+    rng = np.random.default_rng(0)
+    f = jax.device_put(rng.standard_normal((CHI, D * D, CHI)).astype(np.float32))
+    site = (f + 1j * f).astype(jnp.complex64)
+    t0 = time.perf_counter()
+    n_ops = 4
+    for _ in range(n_ops):
+        blob = jnp.einsum("aqb,bqc->aqc", site, site)      # swallow contraction
+        q, _r = jnp.linalg.qr(blob.reshape(CHI * D * D, CHI))  # canonicalize
+        site = q.reshape(CHI, D * D, CHI).astype(jnp.complex64)
+    jax.block_until_ready(site)
+    v = float(abs(complex(to_numpy(blob[0, 0, 0]))))
+    assert v == v, "NaN from eager core op"
+    per_chain = (time.perf_counter() - t0) / n_ops
+    datum = {
+        "eager_core_seconds_per_op_chain": round(per_chain, 4),
+        "eager_core_note": "einsum+QR at (chi*D^2, chi)=(162,18) c64, "
+                           "per-op eager dispatch, 4 chains",
+        "eager_core_measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    try:
+        with open(LAST_GOOD) as f_:
+            prev = json.load(f_)
+    except Exception:
+        prev = {}
+    prev.update(datum)
+    os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
+    with open(LAST_GOOD, "w") as f_:
+        json.dump(prev, f_)
+    print(f"bench: eager core datum persisted ({per_chain:.2f}s/op-chain)",
+          file=sys.stderr)
 
 
 def main():
@@ -191,6 +244,11 @@ def main():
 
     enable_compilation_cache()
     _tiered_probe()
+    if os.environ.get("KPBP_FORCE_EAGER") == "1" and not platform:
+        try:
+            _eager_core_datum()
+        except Exception as exc:  # noqa: BLE001 — insurance only, keep going
+            print(f"bench: eager core datum failed ({exc!r})", file=sys.stderr)
 
     dtype = jnp.complex64
     from kagomeperiodicbp_tpu.algo import contraction as C, fused as F
@@ -351,6 +409,11 @@ def _parent():
             line = run_child({"KPBP_BENCH_PLATFORM": "cpu"}, 420)
             if line:
                 cpu = json.loads(line)
+                # a CPU child that itself fell back to a stale/chip record
+                # must not masquerade as a fresh CPU number
+                if cpu.get("stale") or cpu.get("backend") != "cpu":
+                    raise RuntimeError(
+                        f"cpu child returned {cpu.get('backend')}/stale record")
                 rec["cpu_now_sweeps_per_second"] = cpu.get("value")
                 for k in ("ite_steps_per_second", "ite_vs_baseline",
                           "achieved_gflops", "ite_achieved_gflops"):

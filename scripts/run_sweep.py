@@ -24,6 +24,12 @@ def main(argv=None):
     p.add_argument("--chi-factors", type=float, nargs="+", default=[1.0])
     p.add_argument("--noises", type=float, nargs="*", default=[])
     p.add_argument("--method", default="ite", choices=["ite", "bp"])
+    p.add_argument("--chain", default=None, metavar="STAGES",
+                   help="comma-separated DAG stages per point, e.g. "
+                        "'su,ite,measure' — dependent jobs with each stage "
+                        "consuming its parent's saved cell (reference: "
+                        "condor/CondorJobSender.py send_dag_of_jobs)")
+    p.add_argument("--steps-per-dt", type=int, default=10)
     p.add_argument("--steps", type=int, default=None, help="limit ITE segments")
     p.add_argument("--dt-start", type=float, default=1e-2)
     p.add_argument("--dt-stop", type=float, default=1e-4)
@@ -37,6 +43,10 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     enable_compilation_cache()
+    if (args.platform or os.environ.get("JAX_PLATFORMS")) == "cpu":
+        # f64 measurements on CPU (x64 stays off for chip runs: the axon
+        # remote compiler hangs on x64 programs)
+        jax.config.update("jax_enable_x64", True)
 
     from kagomeperiodicbp_tpu.parallel.sweep import SweepPoint, grid, ite_worker, run_sweep
     from kagomeperiodicbp_tpu.algo.ite import default_time_steps
@@ -45,6 +55,25 @@ def main(argv=None):
     points = grid(Ds=args.Ds, Ns=args.Ns, seeds=args.seeds,
                   chi_factors=args.chi_factors, noises=noises, method=args.method)
     print(f"sweep: {len(points)} points → {args.csv}")
+
+    if args.chain:
+        import dataclasses
+
+        from kagomeperiodicbp_tpu.parallel.sweep import chain, dag_stage_worker, run_dag
+
+        stages = [s.strip() for s in args.chain.split(",") if s.strip()]
+        extra = (("dt_start", args.dt_start), ("dt_stop", args.dt_stop),
+                 ("steps_per_dt", args.steps_per_dt))
+        jobs = []
+        for pt in points:
+            tag = f"D{pt.D}_N{pt.N}_s{pt.seed}"
+            jobs.extend(chain(stages, dataclasses.replace(pt, extra=extra), tag=tag))
+        print(f"chain mode: {len(stages)} stages × {len(points)} points "
+              f"= {len(jobs)} DAG jobs")
+        results = run_dag(jobs, dag_stage_worker, csv_path=args.csv)
+        ok = sum(1 for r in results.values() if r and "error" not in r)
+        print(f"done: {ok}/{len(jobs)} jobs succeeded")
+        return results
 
     steps = default_time_steps(args.dt_start, args.dt_stop, 20)
     if args.steps:
