@@ -320,6 +320,80 @@ def smoke_worker(pt: SweepPoint) -> Dict[str, Any]:
             "seed": pt.seed}
 
 
+def dag_stage_worker(pt: SweepPoint, parents: Dict[str, Dict[str, Any]]) -> Dict[str, Any]:
+    """The chained-campaign stage worker (su → ite → measure per sweep
+    point — the reference's dependent condor jobs, send_ite.py chained via
+    CondorJobSender DAGs). ``pt.method`` selects the stage; cells flow
+    between stages as saved files (``cell_path`` in each result), so stages
+    can run in different worker processes. Stage knobs ride ``pt.extra``:
+    ``dt_start/dt_stop/steps_per_dt`` (ite), ``out_dir`` (all).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..networks.unit_cell import UnitCell
+    from ..physics import hamiltonians
+
+    extra = dict(pt.extra)
+    out_dir = extra.get("out_dir", "data/sweeps/cells")
+    os.makedirs(out_dir, exist_ok=True)
+    h = hamiltonians.BY_NAME["AFM"]()
+    parent_path = next((p["cell_path"] for p in parents.values()
+                        if isinstance(p, dict) and p.get("cell_path")), None)
+    tag = f"D{pt.D}_s{pt.seed}"
+
+    if pt.method == "su":
+        from ..algo.simple_update import simple_update
+
+        cell, _ = simple_update(
+            h, pt.D,
+            time_steps=[0.1] * 60 + [0.01] * 60 + [1e-3] * 40,
+            key=jax.random.PRNGKey(pt.seed))
+        if pt.noise:
+            cell = cell.add_noise(pt.noise, key=jax.random.PRNGKey(pt.seed + 1))
+        path = cell.save(os.path.join(out_dir, f"su_{tag}.pkl"))
+        return {"cell_path": path, "stage": "su"}
+
+    if pt.method == "ite":
+        from ..algo.bp import BPConfig
+        from ..algo.ite import ITEConfig, default_time_steps, full_ite
+
+        cell = UnitCell.load(parent_path) if parent_path else None
+        cfg = ITEConfig(
+            hamiltonian=hamiltonians.heisenberg_afm,
+            time_steps=default_time_steps(
+                float(extra.get("dt_start", 1e-2)),
+                float(extra.get("dt_stop", 1e-4)),
+                int(extra.get("steps_per_dt", 10))),
+            seed=pt.seed)
+        chi = int(2 * pt.D**2 * pt.chi_factor) + 10
+        best, cell, tracker = full_ite(
+            cell, cfg, N=pt.N, D=pt.D, chi=chi,
+            bp_config=BPConfig(trunc_dim=2 * pt.D * pt.D))
+        path = cell.save(os.path.join(out_dir, f"ite_{tag}.pkl"))
+        return {"cell_path": path, "best_energy": float(best), "stage": "ite"}
+
+    if pt.method == "measure":
+        from ..algo.bp import BPConfig, robust_belief_propagation
+        from ..algo.measurements import measure_energies_and_observables
+
+        if parent_path is None:
+            raise ValueError("measure stage needs an upstream cell_path")
+        cell = UnitCell.load(parent_path).astype(jnp.complex128).force_zero_rotation()
+        # the recording convention: block N+1, χ×2 (reference run_ite defaults)
+        n_m = pt.N + 1
+        bp_m = BPConfig(trunc_dim=2 * pt.D * pt.D,
+                        dtype=jnp.complex128).for_measurements(2.0)
+        chi_m = 2 * (2 * pt.D * pt.D + 10)
+        msgs, stats = robust_belief_propagation(cell, None, bp_m, n_m)
+        meas = measure_energies_and_observables(
+            cell, msgs, n_m, chi_m, bp_m.trunc_dim, h)
+        return {"energy": meas.mean_energy, "bp_error": stats.final_error,
+                "cell_path": parent_path, "stage": "measure"}
+
+    raise ValueError(f"unknown DAG stage {pt.method!r}")
+
+
 def ite_worker(pt: SweepPoint, steps: Optional[List[float]] = None) -> Dict[str, Any]:
     """Default 'ite' sweep job: run full_ite at the point's parameters
     (reference: condor/send_ite.py)."""
