@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import logging
 import math
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Dict, Optional, Tuple
@@ -178,6 +179,18 @@ def belief_propagation(
     use_batched = config.batched
     if use_batched is None:
         use_batched = not B._on_axon() and not single
+    # Environment overrides for program-granularity triage (the XLA:CPU
+    # compiler walls on the 6×-larger batched program at D≥5 — observed
+    # 90+ min jit_impl compiles; per-side and single-layer programs are the
+    # same math in smaller compilation units).  Only applied where the
+    # config left the choice to auto (None), so tests pinning explicit
+    # modes stay deterministic.
+    env_single = os.environ.get("KPBP_SINGLE_LAYER")
+    if config.single_layer is None and env_single in ("0", "1"):
+        single = env_single == "1"
+    env_batched = os.environ.get("KPBP_BP_BATCHED")
+    if config.batched is None and env_batched in ("0", "1"):
+        use_batched = env_batched == "1" and not single
     if single:
         # single-layer swallowing consumes the raw ket tensors
         fused = tuple(cell._tensors) if hasattr(cell, "_tensors") else (

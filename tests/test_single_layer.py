@@ -132,3 +132,34 @@ def test_gram_split_message_quality_under_truncation(monkeypatch):
     # s=2χ+32 at 1.12× the ordinary path's distance (data/sketch_rank_curve.json,
     # tools/sketch_rank_curve.py); 1.4 leaves seed/direction margin.
     assert d_gram < max(1.4 * d_norm, d_norm + 1e-9)
+
+
+def test_env_overrides_program_granularity(monkeypatch):
+    """KPBP_SINGLE_LAYER / KPBP_BP_BATCHED steer auto mode choices only:
+    the fixed point must match the default path, and explicit config wins."""
+    N, D = 2, 2
+    cell = UnitCell.random(D=D, d=2, key=jax.random.PRNGKey(4))
+    base = BPConfig(trunc_dim=8, max_iterations=40)
+    msgs_ref, st_ref = belief_propagation(cell, None, base, N)
+    assert st_ref.success
+
+    monkeypatch.setenv("KPBP_SINGLE_LAYER", "1")
+    msgs_env, st_env = belief_propagation(cell, None, base, N)
+    assert st_env.success
+    for side in BlockSide:
+        assert float(mpslib.distance(msgs_ref[side], msgs_env[side])) < 1e-7
+
+    monkeypatch.delenv("KPBP_SINGLE_LAYER")
+    monkeypatch.setenv("KPBP_BP_BATCHED", "0")
+    msgs_ps, st_ps = belief_propagation(cell, None, base, N)
+    assert st_ps.success
+    for side in BlockSide:
+        assert float(mpslib.distance(msgs_ref[side], msgs_ps[side])) < 1e-7
+
+    # explicit config is never overridden by the env
+    monkeypatch.setenv("KPBP_SINGLE_LAYER", "1")
+    explicit = BPConfig(trunc_dim=8, max_iterations=40, single_layer=False)
+    msgs_ex, st_ex = belief_propagation(cell, None, explicit, N)
+    assert st_ex.success
+    for side in BlockSide:
+        assert float(mpslib.distance(msgs_ref[side], msgs_ex[side])) < 1e-7
